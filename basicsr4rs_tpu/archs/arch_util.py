@@ -1,0 +1,253 @@
+"""Shared architecture building blocks (Flax Linen, NHWC).
+
+TPU-native re-design of reference basicsr/archs/arch_util.py:18-345. Layout is
+NHWC throughout (channels on the 128-lane minor dim, convs map straight onto
+the MXU); initializers reproduce the reference's scaled-MSRA scheme so that
+trained-from-scratch statistics match; ``pixel_shuffle`` uses the same channel
+ordering as torch's so converted reference checkpoints are bit-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def scaled_kaiming_init(scale: float = 1.0):
+    """Kaiming-normal (fan_in, ReLU gain) scaled by ``scale`` — the
+    reference's ``default_init_weights`` (arch_util.py:18-45)."""
+    return nn.initializers.variance_scaling(2.0 * scale * scale, 'fan_in', 'normal')
+
+
+def trunc_normal_init(std: float = 0.02):
+    """Truncated normal on [-2std, 2std] (reference arch_util.py:304-345)."""
+    # flax truncated_normal has stddev of the *untruncated* parent; the
+    # reference (timm-style) also parameterizes by parent std.
+    return nn.initializers.truncated_normal(stddev=std)
+
+
+class Conv2d(nn.Module):
+    """3x3-style conv with reference-matching init. NHWC."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 'SAME'
+    use_bias: bool = True
+    init_scale: float = 1.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                       padding=self.padding, use_bias=self.use_bias,
+                       kernel_init=scaled_kaiming_init(self.init_scale),
+                       dtype=self.dtype, name='conv')(x)
+
+
+class ResidualBlockNoBN(nn.Module):
+    """conv-relu-conv with identity skip, no BN
+    (reference arch_util.py:64-88). Residual branch init scaled 0.1."""
+    num_feat: int = 64
+    res_scale: float = 1.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        init = scaled_kaiming_init(0.1)
+        out = nn.Conv(self.num_feat, (3, 3), kernel_init=init, dtype=self.dtype, name='conv1')(x)
+        out = nn.relu(out)
+        out = nn.Conv(self.num_feat, (3, 3), kernel_init=init, dtype=self.dtype, name='conv2')(out)
+        return identity + out * self.res_scale
+
+
+class ChannelAttention(nn.Module):
+    """Squeeze-excite channel attention (reference rcan_arch.py:8-24 /
+    arch_util CAM :91)."""
+    num_feat: int
+    squeeze_factor: int = 16
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)  # global average pool
+        y = nn.Conv(self.num_feat // self.squeeze_factor, (1, 1), dtype=self.dtype, name='squeeze')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.num_feat, (1, 1), dtype=self.dtype, name='excite')(y)
+        return x * jax.nn.sigmoid(y)
+
+
+class CAB(nn.Module):
+    """Channel-attention block: conv-gelu-conv + CA (RS addition,
+    reference arch_util.py:112-122)."""
+    num_feat: int
+    compress_ratio: int = 3
+    squeeze_factor: int = 30
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.num_feat // self.compress_ratio, (3, 3), dtype=self.dtype, name='conv1')(x)
+        y = nn.gelu(y)
+        y = nn.Conv(self.num_feat, (3, 3), dtype=self.dtype, name='conv2')(y)
+        return ChannelAttention(self.num_feat, self.squeeze_factor, dtype=self.dtype, name='ca')(y)
+
+
+def pixel_shuffle(x: jnp.ndarray, upscale_factor: int) -> jnp.ndarray:
+    """NHWC pixel shuffle with torch-compatible channel ordering:
+    out[n, h*r+i, w*r+j, c] = x[n, h, w, c*r*r + i*r + j]."""
+    n, h, w, c = x.shape
+    r = upscale_factor
+    oc = c // (r * r)
+    x = x.reshape(n, h, w, oc, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, i, w, j, oc
+    return x.reshape(n, h * r, w * r, oc)
+
+
+def pixel_unshuffle(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Inverse of pixel_shuffle (reference arch_util.py:218-234):
+    out[n, h, w, c*r*r + i*r + j] = x[n, h*r+i, w*r+j, c]."""
+    n, hh, ww, c = x.shape
+    r = scale
+    h, w = hh // r, ww // r
+    x = x.reshape(n, h, r, w, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # n, h, w, c, i, j
+    return x.reshape(n, h, w, c * r * r)
+
+
+class Upsample(nn.Module):
+    """Pixel-shuffle upsampler for scales 2^n and 3
+    (reference arch_util.py:123-142)."""
+    scale: int
+    num_feat: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.scale
+        if (scale & (scale - 1)) == 0:  # power of 2
+            n_stages = int(jnp.log2(scale)) if False else scale.bit_length() - 1
+            for i in range(n_stages):
+                x = nn.Conv(4 * self.num_feat, (3, 3), dtype=self.dtype, name=f'conv{i}')(x)
+                x = pixel_shuffle(x, 2)
+        elif scale == 3:
+            x = nn.Conv(9 * self.num_feat, (3, 3), dtype=self.dtype, name='conv0')(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise ValueError(f'scale {scale} is not supported. Supported scales: 2^n and 3.')
+        return x
+
+
+class UpsampleOneStep(nn.Module):
+    """Lightweight single-conv upsampler (reference swinir_arch.py:669)."""
+    scale: int
+    num_out_ch: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.num_out_ch * self.scale**2, (3, 3), dtype=self.dtype, name='conv')(x)
+        return pixel_shuffle(x, self.scale)
+
+
+def make_layer(block_fn: Callable[[int], nn.Module], num_blocks: int):
+    """Construct ``num_blocks`` module instances (reference arch_util.py:48-61).
+    Usage inside setup(): ``self.body = make_layer(lambda i: Block(...), n)``."""
+    return [block_fn(i) for i in range(num_blocks)]
+
+
+def flow_warp(x: jnp.ndarray,
+              flow: jnp.ndarray,
+              interpolation: str = 'bilinear',
+              padding_mode: str = 'zeros',
+              align_corners: bool = True) -> jnp.ndarray:
+    """Warp an NHWC image/feature map by optical flow (reference
+    arch_util.py:145-176, torch grid_sample there).
+
+    Args:
+        x: (N, H, W, C).
+        flow: (N, H, W, 2), last dim = (dx, dy) in pixels — output pixel
+            (h, w) samples input at (w + dx, h + dy), matching the reference
+            grid construction.
+    """
+    n, h, w, c = x.shape
+    grid_y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    grid_x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = grid_x[None] + flow[..., 0]
+    sy = grid_y[None] + flow[..., 1]
+
+    if interpolation == 'nearest':
+        ix = jnp.round(sx).astype(jnp.int32)
+        iy = jnp.round(sy).astype(jnp.int32)
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        ix = jnp.clip(ix, 0, w - 1)
+        iy = jnp.clip(iy, 0, h - 1)
+        out = x[jnp.arange(n)[:, None, None], iy, ix]
+        if padding_mode == 'zeros':
+            out = out * valid[..., None].astype(x.dtype)
+        return out
+
+    # Bilinear gather: 4 corners with zero (or border) padding.
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0).astype(x.dtype)[..., None]
+    wy = (sy - y0).astype(x.dtype)[..., None]
+
+    def gather(ix, iy):
+        inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        vals = x[jnp.arange(n)[:, None, None], iyc, ixc]
+        if padding_mode == 'zeros':
+            vals = vals * inb[..., None].astype(x.dtype)
+        return vals
+
+    v00 = gather(x0, y0)
+    v01 = gather(x0 + 1, y0)
+    v10 = gather(x0, y0 + 1)
+    v11 = gather(x0 + 1, y0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_flow(flow: jnp.ndarray,
+                size_type: str,
+                sizes: Sequence[float],
+                interpolation: str = 'bilinear') -> jnp.ndarray:
+    """Resize an NHWC2 flow field and rescale its values
+    (reference arch_util.py:179-215)."""
+    n, h, w, _ = flow.shape
+    if size_type == 'ratio':
+        out_h, out_w = int(h * sizes[0]), int(w * sizes[1])
+    elif size_type == 'shape':
+        out_h, out_w = int(sizes[0]), int(sizes[1])
+    else:
+        raise ValueError(f'Size type should be ratio or shape, but got type {size_type}.')
+    ratio_h, ratio_w = out_h / h, out_w / w
+    method = jax.image.ResizeMethod.LINEAR if interpolation == 'bilinear' else jax.image.ResizeMethod.NEAREST
+    resized = jax.image.resize(flow, (n, out_h, out_w, 2), method=method)
+    return resized * jnp.asarray([ratio_w, ratio_h], dtype=flow.dtype)
+
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int, align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize of NHWC matching torch's ``interpolate(align_corners=False)``
+    semantics (jax.image.resize LINEAR is half-pixel, same convention)."""
+    n, h, w, c = x.shape
+    if align_corners:
+        # torch align_corners=True: sample positions i*(H-1)/(out-1).
+        ys = jnp.linspace(0, h - 1, out_h)
+        xs = jnp.linspace(0, w - 1, out_w)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wy = (ys - y0).astype(x.dtype)
+        wx = (xs - x0).astype(x.dtype)
+        top = x[:, y0][:, :, x0] * (1 - wx)[None, None, :, None] + x[:, y0][:, :, x1] * wx[None, None, :, None]
+        bot = x[:, y1][:, :, x0] * (1 - wx)[None, None, :, None] + x[:, y1][:, :, x1] * wx[None, None, :, None]
+        return top * (1 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
+    return jax.image.resize(x, (n, out_h, out_w, c), method=jax.image.ResizeMethod.LINEAR)

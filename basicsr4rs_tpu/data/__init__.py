@@ -1,0 +1,57 @@
+"""Dataset/dataloader builders with auto-discovery
+(reference: basicsr/data/__init__.py:25-103)."""
+
+from __future__ import annotations
+
+import importlib
+from copy import deepcopy
+from os import path as osp
+
+from ..utils.logger import get_root_logger
+from ..utils.misc import scandir
+from ..utils.registry import DATASET_REGISTRY
+from .loader import CPUPrefetcher, DataLoader, DevicePrefetcher, EnlargedSampler, PrefetchGenerator
+
+__all__ = ['build_dataset', 'build_dataloader', 'DataLoader', 'EnlargedSampler',
+           'CPUPrefetcher', 'DevicePrefetcher', 'PrefetchGenerator']
+
+# Auto-import all '*_dataset.py' files so their registry decorators run
+# (reference data/__init__.py:14-22).
+data_folder = osp.dirname(osp.abspath(__file__))
+dataset_filenames = [osp.splitext(osp.basename(v))[0] for v in scandir(data_folder)
+                     if v.endswith('_dataset.py')]
+_dataset_modules = [importlib.import_module(f'basicsr4rs_tpu.data.{file_name}')
+                    for file_name in dataset_filenames]
+
+
+def build_dataset(dataset_opt):
+    """Instantiate a dataset by its ``type`` key (reference data/__init__.py:25-37)."""
+    dataset_opt = deepcopy(dataset_opt)
+    dataset = DATASET_REGISTRY.get(dataset_opt['type'])(dataset_opt)
+    logger = get_root_logger()
+    logger.info(f'Dataset [{dataset.__class__.__name__}] - {dataset_opt["name"]} is built.')
+    return dataset
+
+
+def build_dataloader(dataset, dataset_opt, num_gpu: int = 1, dist: bool = False,
+                     sampler=None, seed=None):
+    """Build the phase-appropriate loader (reference data/__init__.py:40-94).
+
+    Train: per-process batch/workers, drop_last; val/test: batch 1, no
+    workers. ``num_gpu`` retains the reference's per-device batch semantics:
+    with no explicit sampler the global batch is batch_per_gpu * num_gpu
+    (devices on one host are fed from a single host loader and sharded by
+    the mesh).
+    """
+    phase = dataset_opt['phase']
+    if phase == 'train':
+        batch_size = dataset_opt['batch_size_per_gpu'] * max(num_gpu, 1)
+        num_workers = dataset_opt.get('num_worker_per_gpu', 0) * max(num_gpu, 1)
+        loader = DataLoader(dataset, batch_size=batch_size, sampler=sampler,
+                            shuffle=sampler is None and dataset_opt.get('use_shuffle', True),
+                            num_workers=num_workers, drop_last=True, seed=seed)
+    elif phase in ('val', 'test'):
+        loader = DataLoader(dataset, batch_size=1, shuffle=False, num_workers=0)
+    else:
+        raise ValueError(f"Wrong dataset phase: {phase}. Supported ones are 'train', 'val' and 'test'.")
+    return loader

@@ -1,0 +1,317 @@
+"""SRModel — single-image SR training/eval logic
+(reference: basicsr/models/sr_model.py:17-279).
+
+The torch version mutates module state per call; here the whole optimization
+step is one pure function compiled over the mesh:
+
+    train_step(state, batch, rng) -> (state, logs)
+
+Batch arrives sharded over the ``data`` axis, parameters replicated; XLA
+inserts the gradient all-reduce (DDP analog). EMA is folded into the same
+step. Evaluation pads inputs to a shape bucket to bound recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import OrderedDict
+from os import path as osp
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..archs import build_network
+from ..losses import build_loss
+from ..metrics import calculate_metric
+from ..utils.img_util import imwrite, tensor2img
+from ..utils.logger import get_root_logger
+from ..utils.registry import MODEL_REGISTRY
+from ..parallel.mesh import replicate, shard_batch
+from .base_model import BaseModel, TrainState, build_optimizer, ema_update
+from .lr_scheduler import build_schedule
+
+
+@MODEL_REGISTRY.register()
+class SRModel(BaseModel):
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.net_g = build_network(opt['network_g'])
+        self.rng, init_rng = jax.random.split(self.rng)
+        num_in_ch = opt['network_g'].get('num_in_ch', 3)
+        dummy = jnp.zeros((1, 32, 32, num_in_ch), jnp.float32)
+        variables = self.net_g.init(init_rng, dummy)
+        self.params = variables['params']
+        self.print_network(self.net_g, self.params)
+
+        # Load pretrained weights (reference sr_model.py:31-35).
+        load_path = self.opt['path'].get('pretrain_network_g')
+        if load_path is not None:
+            param_key = self.opt['path'].get('param_key_g', 'params')
+            self.params = self.load_network(load_path, param_key,
+                                            self.opt['path'].get('strict_load_g', True),
+                                            template=self.params,
+                                            rules=getattr(type(self.net_g), 'TORCH_KEY_RULES', None))
+
+        self.state: Optional[TrainState] = None
+        self._eval_fns: Dict[Any, Any] = {}
+        if self.is_train:
+            self.init_training_settings()
+        else:
+            self.ema_decay = 0.0
+            self.state = TrainState(step=jnp.zeros((), jnp.int32), params=self.params,
+                                    ema_params=None, opt_state=())
+
+    # ----------------------------------------------------------- training
+    def init_training_settings(self):
+        train_opt = self.opt['train']
+        self.ema_decay = train_opt.get('ema_decay', 0)
+        logger = get_root_logger()
+        if self.ema_decay > 0:
+            logger.info(f'Use Exponential Moving Average with decay: {self.ema_decay}')
+
+        # Losses (reference sr_model.py:49-64).
+        self.cri_pix = build_loss(train_opt['pixel_opt']) if train_opt.get('pixel_opt') else None
+        self.cri_perceptual = (build_loss(train_opt['perceptual_opt'])
+                               if train_opt.get('perceptual_opt') else None)
+        if self.cri_pix is None and self.cri_perceptual is None:
+            raise ValueError('Both pixel and perceptual losses are None.')
+
+        self.setup_optimizers()
+        self._build_train_step()
+
+    def setup_optimizers(self):
+        train_opt = self.opt['train']
+        optim_opt = dict(train_opt['optim_g'])
+        base_lr = optim_opt.get('lr', 2e-4)
+        schedule = build_schedule(base_lr, train_opt.get('scheduler'),
+                                  train_opt.get('warmup_iter', -1))
+        self.tx = build_optimizer(optim_opt, schedule)
+        self.schedulers_info = [('g', schedule)]
+
+        # EMA starts as a *copy* — distinct buffers matter because the train
+        # step donates the whole state (same-buffer double donation is an error).
+        ema_params = (jax.tree_util.tree_map(jnp.array, self.params)
+                      if self.ema_decay > 0 else None)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=self.params,
+                           ema_params=ema_params, opt_state=self.tx.init(self.params))
+        self.state = replicate(state, self.mesh)
+
+    def _loss_terms(self, params, batch):
+        """Forward + losses; shared by subclasses overriding the step."""
+        output = self.net_g.apply({'params': params}, batch['lq'])
+        losses = OrderedDict()
+        total = 0.0
+        if self.cri_pix is not None:
+            l_pix = self.cri_pix(output, batch['gt'])
+            losses['l_pix'] = l_pix
+            total = total + l_pix
+        if self.cri_perceptual is not None:
+            l_percep, l_style = self.cri_perceptual(output, batch['gt'])
+            if l_percep is not None:
+                losses['l_percep'] = l_percep
+                total = total + l_percep
+            if l_style is not None:
+                losses['l_style'] = l_style
+                total = total + l_style
+        return total, (losses, output)
+
+    def _build_train_step(self):
+        ema_decay = self.ema_decay
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch):
+            (_, (losses, _)), grads = jax.value_and_grad(
+                self._loss_terms, has_aux=True)(state.params, batch)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = state.ema_params
+            if ema_params is not None:
+                ema_params = ema_update(ema_params, params, ema_decay)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      ema_params=ema_params, opt_state=opt_state)
+            return new_state, losses
+
+        self._train_step = train_step
+
+    def feed_data(self, data):
+        """Host batch -> device, sharded over the data axis
+        (reference sr_model.py:86-89). Already-transferred jax arrays (from
+        the device prefetcher) pass through untouched."""
+        arrays = {k: v for k, v in data.items()
+                  if isinstance(v, (np.ndarray, jax.Array))}
+        self.batch = shard_batch(arrays, self.mesh)
+        self.batch_meta = {k: v for k, v in data.items() if k not in arrays}
+
+    def optimize_parameters(self, current_iter):
+        self.state, losses = self._train_step(self.state, self.batch)
+        self.log_dict = self.reduce_loss_dict(losses)
+
+    def current_step(self) -> int:
+        return int(self.state.step)
+
+    # --------------------------------------------------------------- eval
+    def _eval_apply(self, params, lq):
+        """Jitted forward, cached per input shape."""
+        key = (lq.shape, lq.dtype.name if hasattr(lq.dtype, 'name') else str(lq.dtype))
+        if key not in self._eval_fns:
+            self._eval_fns[key] = jax.jit(
+                lambda p, x: self.net_g.apply({'params': p}, x))
+        return self._eval_fns[key](params, lq)
+
+    def _test_params(self):
+        if self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
+    def test(self):
+        """No-grad forward with EMA params when available
+        (reference sr_model.py:108-129)."""
+        self.output = self._eval_apply(self._test_params(), self.batch['lq'])
+
+    def test_selfensemble(self):
+        """x8 flip/transpose TTA (reference sr_model.py:131-177). NHWC."""
+        lq = self.batch['lq']
+        params = self._test_params()
+
+        def transforms(x):
+            yield x
+            yield x[:, :, ::-1, :]              # hflip (W)
+            yield x[:, ::-1, :, :]              # vflip (H)
+            yield x[:, ::-1, ::-1, :]
+            t = jnp.transpose(x, (0, 2, 1, 3))  # transpose H<->W
+            yield t
+            yield t[:, :, ::-1, :]
+            yield t[:, ::-1, :, :]
+            yield t[:, ::-1, ::-1, :]
+
+        outs = []
+        for i, x in enumerate(transforms(lq)):
+            y = self._eval_apply(params, x)
+            # invert the transform
+            if i >= 4:
+                y = y[:, ::-1, ::-1, :] if i == 7 else (y[:, ::-1, :, :] if i == 6 else (
+                    y[:, :, ::-1, :] if i == 5 else y))
+                y = jnp.transpose(y, (0, 2, 1, 3))
+            else:
+                y = y[:, ::-1, ::-1, :] if i == 3 else (y[:, ::-1, :, :] if i == 2 else (
+                    y[:, :, ::-1, :] if i == 1 else y))
+            outs.append(y)
+        self.output = jnp.mean(jnp.stack(outs), axis=0)
+
+    def get_current_visuals(self):
+        """(reference sr_model.py:265-272)"""
+        out_dict = OrderedDict()
+        out_dict['lq'] = np.asarray(self.batch['lq'])
+        out_dict['result'] = np.asarray(self.output)
+        if 'gt' in self.batch:
+            out_dict['gt'] = np.asarray(self.batch['gt'])
+        return out_dict
+
+    def dist_validation(self, dataloader, current_iter, tb_logger, save_img):
+        """rank0-only validation (reference sr_model.py:179-181)."""
+        if self.opt['rank'] == 0:
+            self.nondist_validation(dataloader, current_iter, tb_logger, save_img)
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
+        """(reference sr_model.py:183-248)"""
+        dataset_name = dataloader.dataset.opt['name']
+        with_metrics = self.opt['val'].get('metrics') is not None
+        use_pbar = self.opt['val'].get('pbar', False)
+
+        if with_metrics:
+            if not hasattr(self, 'metric_results'):
+                self.metric_results = {metric: 0 for metric in self.opt['val']['metrics'].keys()}
+            self._initialize_best_metric_results(dataset_name)
+            self.metric_results = {metric: 0 for metric in self.metric_results}
+
+        metric_data = dict()
+        cnt = 0
+        for val_data in dataloader:
+            img_name = osp.splitext(osp.basename(val_data['lq_path'][0]))[0]
+            self.feed_data(val_data)
+            if self.opt['val'].get('selfensemble_testing', False):
+                self.test_selfensemble()
+            else:
+                self.test()
+
+            visuals = self.get_current_visuals()
+            sr_img = tensor2img(visuals['result'])
+            if isinstance(sr_img, list):
+                sr_img = sr_img[0]
+            metric_data['img'] = sr_img
+            if 'gt' in visuals:
+                gt_img = tensor2img(visuals['gt'])
+                if isinstance(gt_img, list):
+                    gt_img = gt_img[0]
+                metric_data['img2'] = gt_img
+
+            if save_img:
+                if self.opt['is_train']:
+                    save_img_path = osp.join(self.opt['path']['visualization'], img_name,
+                                             f'{img_name}_{current_iter}.png')
+                else:
+                    suffix = self.opt['val'].get('suffix')
+                    tag = suffix if suffix else self.opt['name']
+                    save_img_path = osp.join(self.opt['path']['visualization'], dataset_name,
+                                             f'{img_name}_{tag}.png')
+                imwrite(sr_img, save_img_path)
+
+            if with_metrics:
+                for name, opt_ in self.opt['val']['metrics'].items():
+                    self.metric_results[name] += calculate_metric(metric_data, opt_)
+            cnt += 1
+
+        if with_metrics and cnt > 0:
+            for metric in self.metric_results.keys():
+                self.metric_results[metric] /= cnt
+                self._update_best_metric_result(dataset_name, metric,
+                                                self.metric_results[metric], current_iter)
+            self._log_validation_metric_values(current_iter, dataset_name, tb_logger)
+
+    def _log_validation_metric_values(self, current_iter, dataset_name, tb_logger):
+        """(reference sr_model.py:250-263)"""
+        log_str = f'Validation {dataset_name}\n'
+        for metric, value in self.metric_results.items():
+            log_str += f'\t # {metric}: {value:.4f}'
+            if dataset_name in self.best_metric_results:
+                record = self.best_metric_results[dataset_name][metric]
+                log_str += f'\tBest: {record["val"]:.4f} @ {record["iter"]} iter'
+            log_str += '\n'
+        logger = get_root_logger()
+        logger.info(log_str)
+        if tb_logger:
+            for metric, value in self.metric_results.items():
+                tb_logger.add_scalar(f'metrics/{dataset_name}/{metric}', value, current_iter)
+
+    # ---------------------------------------------------------- save/resume
+    def save(self, epoch, current_iter):
+        """(reference sr_model.py:274-279)"""
+        params_dict = {'params': self.state.params}
+        if self.state.ema_params is not None:
+            params_dict['params_ema'] = self.state.ema_params
+        self.save_network(params_dict, 'g', current_iter)
+        self.save_training_state(epoch, current_iter, {
+            'opt_state_g': self.state.opt_state,
+            'step': self.state.step,
+            'params': self.state.params,
+            'params_ema': (self.state.ema_params if self.state.ema_params is not None else {}),
+        })
+
+    def resume_training(self, resume_state):
+        """Restore step/params/opt state (reference base_model.py:361-374)."""
+        step = jnp.asarray(resume_state['step'], jnp.int32)
+        params = resume_state['params']
+        ema = resume_state.get('params_ema')
+        if ema is not None and (not isinstance(ema, dict) or len(ema) > 0):
+            ema_params = ema
+        else:
+            ema_params = params if self.ema_decay > 0 else None
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self.state.opt_state),
+            jax.tree_util.tree_leaves(resume_state['opt_state_g']))
+        state = TrainState(step=step, params=params, ema_params=ema_params, opt_state=opt_state)
+        self.state = replicate(state, self.mesh)

@@ -1,0 +1,103 @@
+"""Load reference (torch) modules standalone for parity testing.
+
+The reference package at /root/reference has unmet deps (torchvision, lmdb,
+...); we stub just enough to import individual arch/metric files and compare
+numerics. This helper is test-only — the framework itself never imports the
+reference.
+"""
+
+import importlib.util
+import sys
+import types
+
+REF_ROOT = '/root/reference'
+
+
+def _ensure_stubs():
+    if 'torchvision' in sys.modules and not isinstance(sys.modules['torchvision'], types.ModuleType):
+        return
+    if 'basicsr' not in sys.modules:
+        basicsr = types.ModuleType('basicsr')
+        basicsr.__path__ = [f'{REF_ROOT}/basicsr']
+        sys.modules['basicsr'] = basicsr
+
+    # torchvision stub (only version-compared, never called in CPU paths we test)
+    if 'torchvision' not in sys.modules:
+        tv = types.ModuleType('torchvision')
+        tv.__version__ = '0.0.0'
+        tv.ops = types.SimpleNamespace(deform_conv2d=None)
+        sys.modules['torchvision'] = tv
+        sys.modules['torchvision.ops'] = types.ModuleType('torchvision.ops')
+        sys.modules['torchvision.ops'].deform_conv2d = None
+
+    class _NoopRegistry:
+        def register(self, *a, **k):
+            def deco(x):
+                return x
+            return deco
+
+        def get(self, name):
+            raise KeyError(name)
+
+    # Namespace stubs with real __path__ so normal submodule imports work
+    # (arch files use relative imports); package __init__.py files are
+    # bypassed (they pull missing deps).
+    for name in ['basicsr.utils', 'basicsr.utils.registry', 'basicsr.ops', 'basicsr.ops.dcn',
+                 'basicsr.archs', 'basicsr.metrics', 'basicsr.data', 'basicsr.losses']:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = [f'{REF_ROOT}/{name.replace(".", "/")}']
+            sys.modules[name] = mod
+
+    reg = sys.modules['basicsr.utils.registry']
+    for rname in ['ARCH_REGISTRY', 'METRIC_REGISTRY', 'DATASET_REGISTRY', 'MODEL_REGISTRY', 'LOSS_REGISTRY']:
+        if not hasattr(reg, rname):
+            setattr(reg, rname, _NoopRegistry())
+
+    utils = sys.modules['basicsr.utils']
+    if not hasattr(utils, 'get_root_logger'):
+        import logging
+        utils.get_root_logger = lambda *a, **k: logging.getLogger('ref')
+
+    dcn = sys.modules['basicsr.ops.dcn']
+    if not hasattr(dcn, 'ModulatedDeformConvPack'):
+        import torch.nn as nn
+
+        class ModulatedDeformConvPack(nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        dcn.ModulatedDeformConvPack = ModulatedDeformConvPack
+        dcn.modulated_deform_conv = None
+        dcn.DeformConvPack = ModulatedDeformConvPack
+
+
+def load_ref_module(relpath: str, name: str = None):
+    """Import a reference file under its canonical package name,
+    e.g. load_ref_module('basicsr/archs/srresnet_arch.py')."""
+    _ensure_stubs()
+    canonical = relpath.replace('/', '.').replace('.py', '')
+    if canonical in sys.modules:
+        return sys.modules[canonical]
+    _preload_canonical('basicsr/utils/color_util.py', 'basicsr.utils.color_util')
+    _preload_canonical('basicsr/utils/matlab_functions.py', 'basicsr.utils.matlab_functions')
+    return importlib.import_module(canonical)
+
+
+def _preload_canonical(relpath: str, canonical: str):
+    if canonical in sys.modules:
+        return
+    utils = sys.modules.get('basicsr.utils')
+    spec = importlib.util.spec_from_file_location(canonical, f'{REF_ROOT}/{relpath}')
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[canonical] = mod
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        del sys.modules[canonical]
+        raise
+    # some files do `from basicsr.utils import bgr2ycbcr`
+    if utils is not None:
+        for attr in ['bgr2ycbcr', 'rgb2ycbcr', 'imwrite', 'img2tensor', 'tensor2img', 'scandir']:
+            if hasattr(mod, attr) and not hasattr(utils, attr):
+                setattr(utils, attr, getattr(mod, attr))
