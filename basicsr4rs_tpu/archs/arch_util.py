@@ -233,6 +233,51 @@ def resize_flow(flow: jnp.ndarray,
     return resized * jnp.asarray([ratio_w, ratio_h], dtype=flow.dtype)
 
 
+def resize_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Integer-factor nearest upsample of NHWC, identical to torch
+    ``F.interpolate(mode='nearest')``."""
+    n, h, w, c = x.shape
+    x = jnp.repeat(x, scale, axis=1)
+    return jnp.repeat(x, scale, axis=2)
+
+
+def _cubic_torch(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """Cubic convolution kernel with a=-0.75 (torch's bicubic)."""
+    at = jnp.abs(t)
+    at2, at3 = at * at, at ** 3
+    f1 = (a + 2) * at3 - (a + 3) * at2 + 1
+    f2 = a * at3 - 5 * a * at2 + 8 * a * at - 4 * a
+    return jnp.where(at <= 1, f1, jnp.where(at < 2, f2, 0.0))
+
+
+def _bicubic_weights(in_size: int, out_size: int, align_corners: bool):
+    import numpy as np
+    if align_corners and out_size > 1:
+        pos = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        pos = (np.arange(out_size) + 0.5) * scale - 0.5
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    idx = base[:, None] + np.arange(-1, 3)[None, :]        # (out, 4)
+    t = frac[:, None] - np.arange(-1, 3)[None, :]
+    w = np.asarray(_cubic_torch(jnp.asarray(t)))
+    idx = np.clip(idx, 0, in_size - 1)
+    return jnp.asarray(w, jnp.float32), jnp.asarray(idx)
+
+
+def resize_bicubic(x: jnp.ndarray, scale: float, align_corners: bool = False) -> jnp.ndarray:
+    """Bicubic resize of NHWC matching torch ``F.interpolate(mode='bicubic')``
+    (a=-0.75, border clamp). Weights are static per shape — two einsums."""
+    n, h, w, c = x.shape
+    out_h, out_w = int(h * scale), int(w * scale)
+    wh, ih = _bicubic_weights(h, out_h, align_corners)
+    ww, iw = _bicubic_weights(w, out_w, align_corners)
+    tmp = jnp.einsum('ok,nokwc->nowc', wh.astype(x.dtype), x[:, ih])
+    out = jnp.einsum('ok,nhokc->nhoc', ww.astype(x.dtype), tmp[:, :, iw])
+    return out
+
+
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int, align_corners: bool = False) -> jnp.ndarray:
     """Bilinear resize of NHWC matching torch's ``interpolate(align_corners=False)``
     semantics (jax.image.resize LINEAR is half-pixel, same convention)."""

@@ -24,7 +24,7 @@ import numpy as np
 
 
 def convert_tensor(key: str, arr: np.ndarray) -> np.ndarray:
-    if key.endswith('kernel') or key.endswith('weight'):
+    if key in ('kernel', 'weight', 'k0', 'k1') or key.endswith('kernel') or key.endswith('weight'):
         if arr.ndim == 4:   # OIHW -> HWIO
             return np.transpose(arr, (2, 3, 1, 0))
         if arr.ndim == 2:   # (out, in) -> (in, out)
@@ -52,6 +52,8 @@ def convert_torch_state_dict(state_dict: Dict[str, Any],
     """torch state_dict -> nested flax params dict."""
     out: Dict[str, Any] = {}
     for key, value in state_dict.items():
+        if key.endswith('.mask'):
+            continue  # fixed buffers (e.g. ECBSR edge masks) are code constants here
         arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, 'detach') else value)
         path = torch_key_to_path(key, rules)
         arr = convert_tensor(path[-1], arr)
