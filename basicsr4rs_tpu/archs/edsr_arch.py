@@ -20,7 +20,7 @@ from .arch_util import ResidualBlockNoBN, Upsample
 class EDSR(nn.Module):
     # torch Sequential upsampler indices (0, 2 -> conv0, conv1) for
     # reference-checkpoint conversion.
-    TORCH_KEY_RULES = ((r'upsample\.(\d+)\.', lambda m: f'upsample.conv{int(m.group(1)) // 2}.'),)
+    TORCH_KEY_RULES = ((r'^upsample\.(\d+)\.', lambda m: f'upsample.conv{int(m.group(1)) // 2}.'),)
 
     num_in_ch: int = 3
     num_out_ch: int = 3

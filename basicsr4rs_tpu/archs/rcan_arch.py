@@ -53,7 +53,7 @@ class RCAN(nn.Module):
         (r'\.rcab\.2\.', '.conv2.'),
         (r'\.rcab\.3\.attention\.1\.', '.ca.squeeze.'),
         (r'\.rcab\.3\.attention\.3\.', '.ca.excite.'),
-        (r'upsample\.(\d+)\.', lambda m: f'upsample.conv{int(m.group(1)) // 2}.'),
+        (r'^upsample\.(\d+)\.', lambda m: f'upsample.conv{int(m.group(1)) // 2}.'),
     )
 
     num_in_ch: int = 3

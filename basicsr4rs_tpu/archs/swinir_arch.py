@@ -1,0 +1,371 @@
+"""SwinIR — shifted-window transformer for SR / denoising / CAR
+(reference: basicsr/archs/swinir_arch.py:85-956).
+
+TPU-native notes:
+  * NHWC end-to-end; window partition is reshape/transpose (layout-friendly).
+  * Static shapes under jit: the shifted-window attention mask and relative-
+    position index are computed with numpy at trace time (inputs are padded
+    to window multiples by ``SwinIRModel``).
+  * The attention inner loop (qk + bias + mask + softmax + v per window) is
+    left to XLA fusion here; `ops/window_attention.py` provides the fused
+    Pallas kernel used when ``use_pallas_attn`` is enabled.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..utils.registry import ARCH_REGISTRY
+from .arch_util import Upsample, pixel_shuffle, resize_nearest, trunc_normal_init
+
+
+def window_partition(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, ws, ws, C) (reference swinir_arch.py:60-72)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window_size, window_size, w // window_size, window_size, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, c)
+
+
+def window_reverse(windows: jnp.ndarray, window_size: int, h: int, w: int) -> jnp.ndarray:
+    """Inverse of window_partition (reference swinir_arch.py:75-92)."""
+    b = windows.shape[0] // (h * w // window_size // window_size)
+    x = windows.reshape(b, h // window_size, w // window_size, window_size, window_size, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+@lru_cache(maxsize=32)
+def _relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Pairwise relative-position index table (reference swinir_arch.py:119-133)."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing='ij'))  # 2, wh, ww
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]          # 2, N, N
+    rel = rel.transpose(1, 2, 0)                        # N, N, 2
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)                                  # N, N
+
+
+@lru_cache(maxsize=64)
+def _shift_attn_mask(h: int, w: int, window_size: int, shift_size: int) -> np.ndarray:
+    """(nW, N, N) 0/-100 mask for shifted windows (reference
+    swinir_arch.py:226-244 calculate_mask)."""
+    img_mask = np.zeros((1, h, w, 1), np.float32)
+    h_slices = (slice(0, -window_size), slice(-window_size, -shift_size), slice(-shift_size, None))
+    w_slices = (slice(0, -window_size), slice(-window_size, -shift_size), slice(-shift_size, None))
+    cnt = 0
+    for hs in h_slices:
+        for ws in w_slices:
+            img_mask[:, hs, ws, :] = cnt
+            cnt += 1
+    # window partition in numpy
+    m = img_mask.reshape(1, h // window_size, window_size, w // window_size, window_size, 1)
+    m = m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size * window_size)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class Mlp(nn.Module):
+    hidden_features: int
+    out_features: int
+    drop: float = 0.
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, kernel_init=trunc_normal_init(.02),
+                     dtype=self.dtype, name='fc1')(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, kernel_init=trunc_normal_init(.02),
+                     dtype=self.dtype, name='fc2')(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias (reference swinir_arch.py:95-192)."""
+    dim: int
+    window_size: Tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.
+    proj_drop: float = 0.
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        b_, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+
+        table = self.param('relative_position_bias_table', trunc_normal_init(.02),
+                           ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1),
+                            self.num_heads))
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                       kernel_init=trunc_normal_init(.02), dtype=self.dtype, name='qkv')(x)
+        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]          # (b_, nH, n, hd)
+
+        attn = (q * scale) @ k.transpose(0, 1, 3, 2)  # (b_, nH, n, n)
+
+        idx = _relative_position_index(*self.window_size)
+        bias = table[idx.reshape(-1)].reshape(n, n, -1).transpose(2, 0, 1)
+        attn = attn + bias[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n) + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(-1, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        x = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
+        x = nn.Dense(self.dim, kernel_init=trunc_normal_init(.02), dtype=self.dtype, name='proj')(x)
+        x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+        return x
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+    rate: float = 0.
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0. or deterministic:
+            return x
+        keep = 1. - self.rate
+        rng = self.make_rng('dropout')
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return x * mask.astype(x.dtype) / keep
+
+
+class SwinTransformerBlock(nn.Module):
+    """(reference swinir_arch.py:194-310)"""
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.
+    attn_drop: float = 0.
+    drop_path: float = 0.
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, x_size, deterministic: bool = True):
+        h, w = x_size
+        b, _, c = x.shape
+        # small inputs: shrink window, no shift (reference :218-222)
+        window_size, shift_size = self.window_size, self.shift_size
+        if min(x_size) <= window_size:
+            shift_size = 0
+            window_size = min(x_size)
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
+        x = x.reshape(b, h, w, c)
+
+        if shift_size > 0:
+            x = jnp.roll(x, (-shift_size, -shift_size), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(h, w, window_size, shift_size))
+        else:
+            mask = None
+
+        x_windows = window_partition(x, window_size).reshape(-1, window_size * window_size, c)
+        attn_windows = WindowAttention(self.dim, (window_size, window_size), self.num_heads,
+                                       self.qkv_bias, self.qk_scale, self.attn_drop, self.drop,
+                                       dtype=self.dtype, name='attn')(
+            x_windows, mask=mask, deterministic=deterministic)
+        x = window_reverse(attn_windows.reshape(-1, window_size, window_size, c), window_size, h, w)
+
+        if shift_size > 0:
+            x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
+        x = x.reshape(b, h * w, c)
+
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                      dtype=self.dtype, name='mlp')(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x), deterministic)
+        return x + DropPath(self.drop_path)(mlp_out, deterministic)
+
+
+class BasicLayer(nn.Module):
+    """Stack of Swin blocks (reference swinir_arch.py:393-477)."""
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.
+    attn_drop: float = 0.
+    drop_path: Sequence[float] = ()
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, x_size, deterministic: bool = True):
+        for i in range(self.depth):
+            dp = self.drop_path[i] if i < len(self.drop_path) else 0.
+            x = SwinTransformerBlock(
+                self.dim, self.num_heads, self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
+                dtype=self.dtype, name=f'blocks_{i}')(x, x_size, deterministic)
+        return x
+
+
+class RSTB(nn.Module):
+    """Residual Swin Transformer Block (reference swinir_arch.py:480-569)."""
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.
+    attn_drop: float = 0.
+    drop_path: Sequence[float] = ()
+    resi_connection: str = '1conv'
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, x_size, deterministic: bool = True):
+        h, w = x_size
+        res = BasicLayer(self.dim, self.depth, self.num_heads, self.window_size,
+                         self.mlp_ratio, self.qkv_bias, self.qk_scale, self.drop,
+                         self.attn_drop, self.drop_path, dtype=self.dtype,
+                         name='residual_group')(x, x_size, deterministic)
+        b, n, c = res.shape
+        img = res.reshape(b, h, w, c)
+        if self.resi_connection == '1conv':
+            img = nn.Conv(self.dim, (3, 3), dtype=self.dtype, name='conv')(img)
+        elif self.resi_connection == '3conv':
+            img = nn.Conv(self.dim // 4, (3, 3), dtype=self.dtype, name='conv_0')(img)
+            img = nn.leaky_relu(img, negative_slope=0.2)
+            img = nn.Conv(self.dim // 4, (1, 1), dtype=self.dtype, name='conv_2')(img)
+            img = nn.leaky_relu(img, negative_slope=0.2)
+            img = nn.Conv(self.dim, (3, 3), dtype=self.dtype, name='conv_4')(img)
+        return img.reshape(b, n, c) + x
+
+
+@ARCH_REGISTRY.register()
+class SwinIR(nn.Module):
+    """(reference swinir_arch.py:694-956)"""
+    @property
+    def torch_key_rules(self):
+        rules = [
+            (r'patch_embed\.norm\.', 'patch_embed_norm.'),
+            (r'(norm\d*)\.weight$', r'\1.scale'),
+        ]
+        if self.upsampler == 'pixelshuffle':
+            # classical-SR Upsample Sequential indices 0/2 -> conv0/conv1
+            rules.append((r'^upsample\.(\d+)\.', lambda m: f'upsample.conv{int(m.group(1)) // 2}.'))
+        return tuple(rules)
+
+    img_size: int = 64
+    patch_size: int = 1
+    in_chans: int = 3
+    embed_dim: int = 96
+    depths: Sequence[int] = (6, 6, 6, 6)
+    num_heads: Sequence[int] = (6, 6, 6, 6)
+    window_size: int = 7
+    mlp_ratio: float = 4.
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.
+    attn_drop_rate: float = 0.
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+    upscale: int = 2
+    img_range: float = 1.
+    upsampler: str = ''
+    resi_connection: str = '1conv'
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        num_feat = 64
+        if self.in_chans == 3:
+            mean = jnp.asarray((0.4488, 0.4371, 0.4040), dtype=x.dtype)
+        else:
+            mean = jnp.zeros((1,), dtype=x.dtype)
+        x = (x - mean) * self.img_range
+
+        b, h, w, _ = x.shape
+        x_size = (h, w)
+
+        def forward_features(feat):
+            bb, hh, ww, cc = feat.shape
+            seq = feat.reshape(bb, hh * ww, cc)
+            if self.patch_norm:
+                seq = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                   name='patch_embed_norm')(seq)
+            if self.ape:
+                ape = self.param('absolute_pos_embed', trunc_normal_init(.02),
+                                 (1, hh * ww, self.embed_dim))
+                seq = seq + ape
+            seq = nn.Dropout(self.drop_rate)(seq, deterministic=deterministic)
+
+            dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+            for i, depth in enumerate(self.depths):
+                start = sum(self.depths[:i])
+                seq = RSTB(self.embed_dim, depth, self.num_heads[i], self.window_size,
+                           self.mlp_ratio, self.qkv_bias, self.qk_scale, self.drop_rate,
+                           self.attn_drop_rate, tuple(dpr[start:start + depth]),
+                           self.resi_connection, dtype=self.dtype,
+                           name=f'layers_{i}')(seq, (hh, ww), deterministic)
+            seq = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm')(seq)
+            return seq.reshape(bb, hh, ww, cc)
+
+        lrelu = lambda v, s=0.01: nn.leaky_relu(v, negative_slope=s)  # noqa: E731
+
+        if self.upsampler == 'pixelshuffle':
+            feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype, name='conv_first')(x)
+            feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
+                           name='conv_after_body')(forward_features(feat)) + feat
+            feat = lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype,
+                                 name='conv_before_upsample_0')(feat))
+            out = nn.Conv(self.in_chans, (3, 3), dtype=self.dtype, name='conv_last')(
+                Upsample(self.upscale, num_feat, dtype=self.dtype, name='upsample')(feat))
+        elif self.upsampler == 'pixelshuffledirect':
+            feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype, name='conv_first')(x)
+            feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
+                           name='conv_after_body')(forward_features(feat)) + feat
+            out = pixel_shuffle(nn.Conv(self.in_chans * self.upscale**2, (3, 3),
+                                        dtype=self.dtype, name='upsample_0')(feat), self.upscale)
+        elif self.upsampler == 'nearest+conv':
+            assert self.upscale == 4, 'only support x4 now.'
+            feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype, name='conv_first')(x)
+            feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
+                           name='conv_after_body')(forward_features(feat)) + feat
+            feat = lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype,
+                                 name='conv_before_upsample_0')(feat))
+            feat = lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype, name='conv_up1')(
+                resize_nearest(feat, 2)), 0.2)
+            feat = lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype, name='conv_up2')(
+                resize_nearest(feat, 2)), 0.2)
+            out = nn.Conv(self.in_chans, (3, 3), dtype=self.dtype, name='conv_last')(
+                lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype, name='conv_hr')(feat), 0.2))
+        else:
+            # denoising / CAR: residual around the deep features
+            feat_first = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype, name='conv_first')(x)
+            res = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
+                          name='conv_after_body')(forward_features(feat_first)) + feat_first
+            out = x + nn.Conv(self.in_chans, (3, 3), dtype=self.dtype, name='conv_last')(res)
+
+        return out / self.img_range + mean

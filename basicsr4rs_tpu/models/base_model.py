@@ -33,11 +33,15 @@ from .lr_scheduler import build_schedule
 
 
 class TrainState(struct.PyTreeNode):
-    """Immutable train state: the unit of checkpointing and of the jitted step."""
+    """Immutable train state: the unit of checkpointing and of the jitted step.
+
+    ``stats`` carries non-param variable collections (e.g. BatchNorm
+    batch_stats for discriminators); None for stat-less networks."""
     step: jnp.ndarray
     params: Any
     ema_params: Any
     opt_state: Any
+    stats: Any = None
 
 
 def build_optimizer(optim_opt: dict, schedule: Callable) -> optax.GradientTransformation:

@@ -51,10 +51,11 @@ class SRModel(BaseModel):
         load_path = self.opt['path'].get('pretrain_network_g')
         if load_path is not None:
             param_key = self.opt['path'].get('param_key_g', 'params')
+            rules = (getattr(self.net_g, 'torch_key_rules', None)
+                     or getattr(type(self.net_g), 'TORCH_KEY_RULES', None))
             self.params = self.load_network(load_path, param_key,
                                             self.opt['path'].get('strict_load_g', True),
-                                            template=self.params,
-                                            rules=getattr(type(self.net_g), 'TORCH_KEY_RULES', None))
+                                            template=self.params, rules=rules)
 
         self.state: Optional[TrainState] = None
         self._eval_fns: Dict[Any, Any] = {}

@@ -52,8 +52,8 @@ def convert_torch_state_dict(state_dict: Dict[str, Any],
     """torch state_dict -> nested flax params dict."""
     out: Dict[str, Any] = {}
     for key, value in state_dict.items():
-        if key.endswith('.mask'):
-            continue  # fixed buffers (e.g. ECBSR edge masks) are code constants here
+        if key.endswith(('.mask', 'relative_position_index', 'attn_mask')):
+            continue  # fixed buffers (ECBSR masks, Swin indices) are code constants here
         arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, 'detach') else value)
         path = torch_key_to_path(key, rules)
         arr = convert_tensor(path[-1], arr)
