@@ -102,6 +102,10 @@ class SRGANModel(SRModel):
             pred = self.net_d.apply(variables, x)
             return pred, d_stats
 
+    def _gan_gt(self, batch):
+        """The real sample shown to D (Real-ESRGAN overrides for USM flags)."""
+        return batch['gt']
+
     # ------------------------------------------------------------- G losses
     def _g_gan_loss(self, output, gt, d_params, d_stats):
         """Standard GAN generator loss (overridden by ESRGAN)."""
@@ -172,8 +176,9 @@ class SRGANModel(SRModel):
 
             # ---- D phase (reference srgan_model.py:120-141)
             output_detached = jax.lax.stop_gradient(output)
+            d_real_target = self._gan_gt(batch)
             (_, (d_logs, d_stats)), d_grads = jax.value_and_grad(
-                lambda p: self._pack_d(self._d_losses(p, d_state.stats, batch['gt'],
+                lambda p: self._pack_d(self._d_losses(p, d_state.stats, d_real_target,
                                                       output_detached)),
                 has_aux=True)(d_state.params)
             d_updates, d_opt_state = self.tx_d.update(d_grads, d_state.opt_state, d_state.params)

@@ -52,6 +52,14 @@ def create_train_val_dataloader(opt, logger):
                                             dist=opt['dist'], sampler=train_sampler,
                                             seed=opt['manual_seed'])
 
+            if len(train_loader) == 0:
+                raise ValueError(
+                    f'Train dataloader is empty: {len(train_set)} images x enlarge '
+                    f'{dataset_enlarge_ratio} < global batch '
+                    f"{dataset_opt['batch_size_per_gpu'] * opt['num_gpu']} "
+                    '(batch_size_per_gpu x num_gpu) with drop_last. Increase '
+                    'dataset_enlarge_ratio or reduce the batch size.')
+
             num_iter_per_epoch = math.ceil(
                 len(train_set) * dataset_enlarge_ratio /
                 (dataset_opt['batch_size_per_gpu'] * opt['num_gpu'] * opt['world_size']))

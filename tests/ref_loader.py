@@ -29,6 +29,22 @@ def _ensure_stubs():
         sys.modules['torchvision'] = tv
         sys.modules['torchvision.ops'] = types.ModuleType('torchvision.ops')
         sys.modules['torchvision.ops'].deform_conv2d = None
+        # torchvision.transforms.functional.rgb_to_grayscale used by the
+        # reference degradations module — provide a faithful torch stub.
+        import torch
+
+        def rgb_to_grayscale(img, num_output_channels=1):
+            w = torch.tensor([0.2989, 0.587, 0.114], dtype=img.dtype).view(1, 3, 1, 1)
+            gray = (img * w).sum(dim=1, keepdim=True)
+            return gray.expand(img.shape[0], num_output_channels, *img.shape[2:])
+
+        tf = types.ModuleType('torchvision.transforms')
+        tff = types.ModuleType('torchvision.transforms.functional')
+        tff.rgb_to_grayscale = rgb_to_grayscale
+        sys.modules['torchvision.transforms'] = tf
+        sys.modules['torchvision.transforms.functional'] = tff
+        tv.transforms = tf
+        tf.functional = tff
 
     class _NoopRegistry:
         def register(self, *a, **k):
