@@ -229,7 +229,7 @@ def resize_flow(flow: jnp.ndarray,
         raise ValueError(f'Size type should be ratio or shape, but got type {size_type}.')
     ratio_h, ratio_w = out_h / h, out_w / w
     method = jax.image.ResizeMethod.LINEAR if interpolation == 'bilinear' else jax.image.ResizeMethod.NEAREST
-    resized = jax.image.resize(flow, (n, out_h, out_w, 2), method=method)
+    resized = jax.image.resize(flow, (n, out_h, out_w, 2), method=method, antialias=False)
     return resized * jnp.asarray([ratio_w, ratio_h], dtype=flow.dtype)
 
 
@@ -295,4 +295,6 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int, align_corners: bool 
         top = x[:, y0][:, :, x0] * (1 - wx)[None, None, :, None] + x[:, y0][:, :, x1] * wx[None, None, :, None]
         bot = x[:, y1][:, :, x0] * (1 - wx)[None, None, :, None] + x[:, y1][:, :, x1] * wx[None, None, :, None]
         return top * (1 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
-    return jax.image.resize(x, (n, out_h, out_w, c), method=jax.image.ResizeMethod.LINEAR)
+    # antialias=False matches torch F.interpolate(bilinear) on downscale
+    return jax.image.resize(x, (n, out_h, out_w, c), method=jax.image.ResizeMethod.LINEAR,
+                            antialias=False)

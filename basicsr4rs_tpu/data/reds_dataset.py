@@ -1,0 +1,213 @@
+"""REDS datasets (reference: basicsr/data/reds_dataset.py:14-352)."""
+
+from __future__ import annotations
+
+import random
+from os import path as osp
+
+import numpy as np
+
+from ..utils.file_client import FileClient
+from ..utils.img_util import imfrombytes, img2tensor
+from ..utils.registry import DATASET_REGISTRY
+from .transforms import augment, paired_random_crop
+
+
+@DATASET_REGISTRY.register()
+class REDSDataset:
+    """Sliding-window REDS training set: key frame + +-num_frame//2 neighbors
+    (reference reds_dataset.py:14-206).
+
+    Keys come from a meta_info file with lines ``clip_name frame_num (h,w)``;
+    val clips (REDS4 or official) are excluded per ``val_partition``.
+    """
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.gt_root, self.lq_root = opt['dataroot_gt'], opt['dataroot_lq']
+        self.flow_root = opt.get('dataroot_flow')
+        assert opt['num_frame'] % 2 == 1, f"num_frame should be odd number, but got {opt['num_frame']}"
+        self.num_frame = opt['num_frame']
+        self.num_half_frames = opt['num_frame'] // 2
+
+        self.keys = []
+        self.frame_num = {}
+        with open(opt['meta_info_file'], 'r') as fin:
+            for line in fin:
+                folder, frame_num, _ = line.split(' ')
+                self.frame_num[folder] = int(frame_num)
+                self.keys.extend([f'{folder}/{i:08d}' for i in range(int(frame_num))])
+
+        # remove the video clips used in validation (reference :65-76)
+        val_partition = opt.get('val_partition', 'REDS4')
+        if val_partition == 'REDS4':
+            val_clips = ['000', '011', '015', '020']
+        elif val_partition == 'official':
+            val_clips = [f'{v:03d}' for v in range(240, 270)]
+        else:
+            raise ValueError(f'Wrong validation partition {val_partition}. '
+                             f"Supported ones are ['official', 'REDS4'].")
+        if opt.get('test_mode', False):
+            self.keys = [v for v in self.keys if v.split('/')[0] in val_clips]
+        else:
+            self.keys = [v for v in self.keys if v.split('/')[0] not in val_clips]
+
+        self.file_client = None
+        self.io_backend_opt = dict(opt.get('io_backend', {'type': 'disk'}))
+        self.is_lmdb = self.io_backend_opt['type'] == 'lmdb'
+        if self.is_lmdb:
+            self.io_backend_opt['db_paths'] = [self.lq_root, self.gt_root]
+            self.io_backend_opt['client_keys'] = ['lq', 'gt']
+            if self.flow_root is not None:
+                self.io_backend_opt['db_paths'].append(self.flow_root)
+                self.io_backend_opt['client_keys'].append('flow')
+
+        self.interval_list = opt.get('interval_list', [1])
+        self.random_reverse = opt.get('random_reverse', False)
+        self._rng = np.random.default_rng(opt.get('manual_seed'))
+
+    def _client(self):
+        if self.file_client is None:
+            backend_opt = dict(self.io_backend_opt)
+            self.file_client = FileClient(backend_opt.pop('type'), **backend_opt)
+        return self.file_client
+
+    def __getitem__(self, index):
+        client = self._client()
+        scale = self.opt['scale']
+        gt_size = self.opt['gt_size']
+        key = self.keys[index]
+        clip_name, frame_name = key.split('/')
+        center_frame_idx = int(frame_name)
+
+        # temporal augmentation: random interval, shifted window (reference :95-120)
+        total = self.frame_num[clip_name]  # reference hardcodes 100 (REDS)
+        interval = int(self._rng.choice(self.interval_list))
+        start_frame_idx = center_frame_idx - self.num_half_frames * interval
+        end_frame_idx = center_frame_idx + self.num_half_frames * interval
+        while (start_frame_idx < 0) or (end_frame_idx > total - 1):
+            center_frame_idx = int(self._rng.integers(0, total))
+            start_frame_idx = center_frame_idx - self.num_half_frames * interval
+            end_frame_idx = center_frame_idx + self.num_half_frames * interval
+        frame_name = f'{center_frame_idx:08d}'
+        neighbor_list = list(range(start_frame_idx, end_frame_idx + 1, interval))
+        if self.random_reverse and self._rng.random() < 0.5:
+            neighbor_list.reverse()
+        assert len(neighbor_list) == self.num_frame
+
+        # GT (center frame only) + LQ window
+        if self.is_lmdb:
+            img_gt_path = f'{clip_name}/{frame_name}'
+        else:
+            img_gt_path = osp.join(self.gt_root, clip_name, f'{frame_name}.png')
+        img_gt = imfrombytes(client.get(img_gt_path, 'gt'), float32=True)
+
+        img_lqs = []
+        for neighbor in neighbor_list:
+            if self.is_lmdb:
+                img_lq_path = f'{clip_name}/{neighbor:08d}'
+            else:
+                img_lq_path = osp.join(self.lq_root, clip_name, f'{neighbor:08d}.png')
+            img_lqs.append(imfrombytes(client.get(img_lq_path, 'lq'), float32=True))
+
+        img_gt, img_lqs = paired_random_crop(img_gt, img_lqs, gt_size, scale, img_gt_path,
+                                             rng=self._rng)
+        img_lqs.append(img_gt)
+        img_results = augment(img_lqs, self.opt.get('use_hflip', False),
+                              self.opt.get('use_rot', False), rng=self._rng)
+        img_results = [img2tensor(v) for v in img_results]
+        img_lqs = np.stack(img_results[0:-1], axis=0)  # (t, h, w, c)
+        img_gt = img_results[-1]
+        return {'lq': img_lqs, 'gt': img_gt, 'key': key}
+
+    def __len__(self):
+        return len(self.keys)
+
+
+@DATASET_REGISTRY.register()
+class REDSRecurrentDataset:
+    """Recurrent training: consecutive ``num_frame`` clip with GT for every
+    frame (reference reds_dataset.py:209-352)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.gt_root, self.lq_root = opt['dataroot_gt'], opt['dataroot_lq']
+        self.num_frame = opt['num_frame']
+
+        self.keys = []
+        self.frame_num = {}
+        with open(opt['meta_info_file'], 'r') as fin:
+            for line in fin:
+                folder, frame_num, _ = line.split(' ')
+                self.frame_num[folder] = int(frame_num)
+                self.keys.extend([f'{folder}/{i:08d}' for i in range(int(frame_num))])
+
+        val_partition = opt.get('val_partition', 'REDS4')
+        if val_partition == 'REDS4':
+            val_clips = ['000', '011', '015', '020']
+        elif val_partition == 'official':
+            val_clips = [f'{v:03d}' for v in range(240, 270)]
+        else:
+            raise ValueError(f'Wrong validation partition {val_partition}.')
+        if opt.get('test_mode', False):
+            self.keys = [v for v in self.keys if v.split('/')[0] in val_clips]
+        else:
+            self.keys = [v for v in self.keys if v.split('/')[0] not in val_clips]
+
+        self.file_client = None
+        self.io_backend_opt = dict(opt.get('io_backend', {'type': 'disk'}))
+        self.is_lmdb = self.io_backend_opt['type'] == 'lmdb'
+        if self.is_lmdb:
+            self.io_backend_opt['db_paths'] = [self.lq_root, self.gt_root]
+            self.io_backend_opt['client_keys'] = ['lq', 'gt']
+
+        self.interval_list = opt.get('interval_list', [1])
+        self.random_reverse = opt.get('random_reverse', False)
+        self._rng = np.random.default_rng(opt.get('manual_seed'))
+
+    def _client(self):
+        if self.file_client is None:
+            backend_opt = dict(self.io_backend_opt)
+            self.file_client = FileClient(backend_opt.pop('type'), **backend_opt)
+        return self.file_client
+
+    def __getitem__(self, index):
+        client = self._client()
+        scale = self.opt['scale']
+        gt_size = self.opt['gt_size']
+        key = self.keys[index]
+        clip_name, frame_name = key.split('/')
+
+        total = self.frame_num[clip_name]  # reference hardcodes 100 (REDS)
+        interval = int(self._rng.choice(self.interval_list))
+        start_frame_idx = int(frame_name)
+        if start_frame_idx > total - self.num_frame * interval:
+            start_frame_idx = int(self._rng.integers(0, total - self.num_frame * interval + 1))
+        end_frame_idx = start_frame_idx + self.num_frame * interval
+        neighbor_list = list(range(start_frame_idx, end_frame_idx, interval))
+        if self.random_reverse and self._rng.random() < 0.5:
+            neighbor_list.reverse()
+
+        img_lqs, img_gts = [], []
+        for neighbor in neighbor_list:
+            if self.is_lmdb:
+                img_lq_path = f'{clip_name}/{neighbor:08d}'
+                img_gt_path = f'{clip_name}/{neighbor:08d}'
+            else:
+                img_lq_path = osp.join(self.lq_root, clip_name, f'{neighbor:08d}.png')
+                img_gt_path = osp.join(self.gt_root, clip_name, f'{neighbor:08d}.png')
+            img_lqs.append(imfrombytes(client.get(img_lq_path, 'lq'), float32=True))
+            img_gts.append(imfrombytes(client.get(img_gt_path, 'gt'), float32=True))
+
+        img_gts, img_lqs = paired_random_crop(img_gts, img_lqs, gt_size, scale, clip_name,
+                                              rng=self._rng)
+        img_lqs.extend(img_gts)
+        img_results = augment(img_lqs, self.opt.get('use_hflip', False),
+                              self.opt.get('use_rot', False), rng=self._rng)
+        img_results = [img2tensor(v) for v in img_results]
+        img_lqs = np.stack(img_results[:self.num_frame], axis=0)
+        img_gts = np.stack(img_results[self.num_frame:], axis=0)
+        return {'lq': img_lqs, 'gt': img_gts, 'key': key}
+
+    def __len__(self):
+        return len(self.keys)

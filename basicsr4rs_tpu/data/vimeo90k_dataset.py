@@ -1,0 +1,122 @@
+"""Vimeo90K datasets (reference: basicsr/data/vimeo90k_dataset.py:12-199)."""
+
+from __future__ import annotations
+
+from os import path as osp
+
+import numpy as np
+
+from ..utils.file_client import FileClient
+from ..utils.img_util import imfrombytes, img2tensor
+from ..utils.registry import DATASET_REGISTRY
+from .transforms import augment, paired_random_crop
+
+
+@DATASET_REGISTRY.register()
+class Vimeo90KDataset:
+    """7-frame clips; GT is the center frame im4 (reference :12-134)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.gt_root, self.lq_root = opt['dataroot_gt'], opt['dataroot_lq']
+
+        with open(opt['meta_info_file'], 'r') as fin:
+            self.keys = [line.split(' ')[0] for line in fin]
+
+        self.file_client = None
+        self.io_backend_opt = dict(opt.get('io_backend', {'type': 'disk'}))
+        self.is_lmdb = self.io_backend_opt['type'] == 'lmdb'
+        if self.is_lmdb:
+            self.io_backend_opt['db_paths'] = [self.lq_root, self.gt_root]
+            self.io_backend_opt['client_keys'] = ['lq', 'gt']
+
+        # neighbor frames centered at im4 (reference :60-66)
+        self.neighbor_list = [i + (9 - opt['num_frame']) // 2 for i in range(opt['num_frame'])]
+        self.random_reverse = opt.get('random_reverse', False)
+        self._rng = np.random.default_rng(opt.get('manual_seed'))
+
+    def _client(self):
+        if self.file_client is None:
+            backend_opt = dict(self.io_backend_opt)
+            self.file_client = FileClient(backend_opt.pop('type'), **backend_opt)
+        return self.file_client
+
+    def __getitem__(self, index):
+        client = self._client()
+        scale = self.opt['scale']
+        gt_size = self.opt['gt_size']
+        key = self.keys[index]
+        clip, seq = key.split('/')
+
+        neighbor_list = list(self.neighbor_list)
+        if self.random_reverse and self._rng.random() < 0.5:
+            neighbor_list.reverse()
+
+        if self.is_lmdb:
+            img_gt_path = f'{key}/im4'
+        else:
+            img_gt_path = osp.join(self.gt_root, clip, seq, 'im4.png')
+        img_gt = imfrombytes(client.get(img_gt_path, 'gt'), float32=True)
+
+        img_lqs = []
+        for neighbor in neighbor_list:
+            if self.is_lmdb:
+                img_lq_path = f'{clip}/{seq}/im{neighbor}'
+            else:
+                img_lq_path = osp.join(self.lq_root, clip, seq, f'im{neighbor}.png')
+            img_lqs.append(imfrombytes(client.get(img_lq_path, 'lq'), float32=True))
+
+        img_gt, img_lqs = paired_random_crop(img_gt, img_lqs, gt_size, scale, img_gt_path,
+                                             rng=self._rng)
+        img_lqs.append(img_gt)
+        img_results = augment(img_lqs, self.opt.get('use_hflip', False),
+                              self.opt.get('use_rot', False), rng=self._rng)
+        img_results = [img2tensor(v) for v in img_results]
+        img_lqs = np.stack(img_results[0:-1], axis=0)
+        img_gt = img_results[-1]
+        return {'lq': img_lqs, 'gt': img_gt, 'key': key}
+
+    def __len__(self):
+        return len(self.keys)
+
+
+@DATASET_REGISTRY.register()
+class Vimeo90KRecurrentDataset(Vimeo90KDataset):
+    """Recurrent variant: GTs for all 7 frames (reference :137-199)."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.flip_sequence = opt.get('flip_sequence', False)
+        self.neighbor_list = [1, 2, 3, 4, 5, 6, 7]
+
+    def __getitem__(self, index):
+        client = self._client()
+        scale = self.opt['scale']
+        gt_size = self.opt['gt_size']
+        key = self.keys[index]
+        clip, seq = key.split('/')
+
+        img_lqs, img_gts = [], []
+        for neighbor in self.neighbor_list:
+            if self.is_lmdb:
+                img_lq_path = f'{clip}/{seq}/im{neighbor}'
+                img_gt_path = f'{clip}/{seq}/im{neighbor}'
+            else:
+                img_lq_path = osp.join(self.lq_root, clip, seq, f'im{neighbor}.png')
+                img_gt_path = osp.join(self.gt_root, clip, seq, f'im{neighbor}.png')
+            img_lqs.append(imfrombytes(client.get(img_lq_path, 'lq'), float32=True))
+            img_gts.append(imfrombytes(client.get(img_gt_path, 'gt'), float32=True))
+
+        img_gts, img_lqs = paired_random_crop(img_gts, img_lqs, gt_size, scale, clip,
+                                              rng=self._rng)
+        img_lqs.extend(img_gts)
+        img_results = augment(img_lqs, self.opt.get('use_hflip', False),
+                              self.opt.get('use_rot', False), rng=self._rng)
+        img_results = [img2tensor(v) for v in img_results]
+        img_lqs = np.stack(img_results[:7], axis=0)
+        img_gts = np.stack(img_results[7:], axis=0)
+
+        if self.flip_sequence:  # temporal double by mirroring (reference :188-191)
+            img_lqs = np.concatenate([img_lqs, img_lqs[::-1]], axis=0)
+            img_gts = np.concatenate([img_gts, img_gts[::-1]], axis=0)
+        return {'lq': img_lqs, 'gt': img_gts, 'key': key}

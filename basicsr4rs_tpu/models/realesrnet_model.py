@@ -80,10 +80,10 @@ class RealESRNetModel(_SynthesisMixin, SRModel):
         super().__init__(opt)
         self._init_synthesis()
 
-    def _loss_terms(self, params, batch):
+    def _loss_terms(self, params, batch, stats=None):
         # L1 against USM-sharpened GT unless disabled (reference
         # realesrnet_model.py / realesrgan_model.py gt_usm flags).
         target = batch['gt_usm'] if self.opt.get('gt_usm', True) and 'gt_usm' in batch else batch['gt']
         batch_eff = dict(batch)
         batch_eff['gt'] = target
-        return super()._loss_terms(params, batch_eff)
+        return super()._loss_terms(params, batch_eff, stats)

@@ -41,10 +41,16 @@ class SRModel(BaseModel):
         super().__init__(opt)
         self.net_g = build_network(opt['network_g'])
         self.rng, init_rng = jax.random.split(self.rng)
-        num_in_ch = opt['network_g'].get('num_in_ch', 3)
-        dummy = jnp.zeros((1, 32, 32, num_in_ch), jnp.float32)
-        variables = self.net_g.init(init_rng, dummy)
+        import inspect
+        try:
+            self._net_accepts_train = 'train' in inspect.signature(
+                type(self.net_g).__call__).parameters
+        except (TypeError, ValueError):
+            self._net_accepts_train = False
+        variables = self.net_g.init(init_rng, self._dummy_input())
         self.params = variables['params']
+        # non-param collections (BatchNorm running stats in DUF/TOF etc.)
+        self.net_stats = dict(variables.get('batch_stats', {}))
         self.print_network(self.net_g, self.params)
 
         # Load pretrained weights (reference sr_model.py:31-35).
@@ -64,7 +70,13 @@ class SRModel(BaseModel):
         else:
             self.ema_decay = 0.0
             self.state = TrainState(step=jnp.zeros((), jnp.int32), params=self.params,
-                                    ema_params=None, opt_state=())
+                                    ema_params=None, opt_state=(), stats=self.net_stats)
+
+    def _dummy_input(self):
+        """Shape used to initialize net_g parameters (conv nets are shape-
+        polymorphic; video models override with a 5D clip)."""
+        num_in_ch = self.opt['network_g'].get('num_in_ch', 3)
+        return jnp.zeros((1, 32, 32, num_in_ch), jnp.float32)
 
     # ----------------------------------------------------------- training
     def init_training_settings(self):
@@ -98,12 +110,27 @@ class SRModel(BaseModel):
         ema_params = (jax.tree_util.tree_map(jnp.array, self.params)
                       if self.ema_decay > 0 else None)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=self.params,
-                           ema_params=ema_params, opt_state=self.tx.init(self.params))
+                           ema_params=ema_params, opt_state=self.tx.init(self.params),
+                           stats=self.net_stats)
         self.state = replicate(state, self.mesh)
 
-    def _loss_terms(self, params, batch):
-        """Forward + losses; shared by subclasses overriding the step."""
-        output = self.net_g.apply({'params': params}, batch['lq'])
+    def _apply_net_g(self, params, x, stats=None, train=False):
+        """Forward through net_g, threading batch_stats when present.
+        Returns (output, new_stats)."""
+        variables = {'params': params}
+        kwargs = {'train': train} if (self._net_accepts_train and train is not None) else {}
+        if stats:
+            variables['batch_stats'] = stats
+            if train:
+                out, updates = self.net_g.apply(variables, x, mutable=['batch_stats'], **kwargs)
+                return out, updates.get('batch_stats', stats)
+            return self.net_g.apply(variables, x, **kwargs), stats
+        return self.net_g.apply(variables, x, **kwargs), stats
+
+    def _loss_terms(self, params, batch, stats=None):
+        """Forward + losses; shared by subclasses overriding the step.
+        Returns (total, (losses, output, new_stats))."""
+        output, new_stats = self._apply_net_g(params, batch['lq'], stats, train=True)
         losses = OrderedDict()
         total = 0.0
         if self.cri_pix is not None:
@@ -118,22 +145,29 @@ class SRModel(BaseModel):
             if l_style is not None:
                 losses['l_style'] = l_style
                 total = total + l_style
-        return total, (losses, output)
+        return total, (losses, output, new_stats)
+
+    def _postprocess_updates(self, updates, params, step):
+        """Hook for per-parameter-group lr multipliers / freezes (video models
+        override; reference base_model.py:107-125 param groups)."""
+        return updates
 
     def _build_train_step(self):
         ema_decay = self.ema_decay
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
-            (_, (losses, _)), grads = jax.value_and_grad(
-                self._loss_terms, has_aux=True)(state.params, batch)
+            (_, (losses, _, new_stats)), grads = jax.value_and_grad(
+                self._loss_terms, has_aux=True)(state.params, batch, state.stats)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            updates = self._postprocess_updates(updates, state.params, state.step)
             params = optax.apply_updates(state.params, updates)
             ema_params = state.ema_params
             if ema_params is not None:
                 ema_params = ema_update(ema_params, params, ema_decay)
             new_state = state.replace(step=state.step + 1, params=params,
-                                      ema_params=ema_params, opt_state=opt_state)
+                                      ema_params=ema_params, opt_state=opt_state,
+                                      stats=new_stats)
             return new_state, losses
 
         self._train_step = train_step
@@ -160,8 +194,8 @@ class SRModel(BaseModel):
         key = (lq.shape, lq.dtype.name if hasattr(lq.dtype, 'name') else str(lq.dtype))
         if key not in self._eval_fns:
             self._eval_fns[key] = jax.jit(
-                lambda p, x: self.net_g.apply({'params': p}, x))
-        return self._eval_fns[key](params, lq)
+                lambda p, s, x: self._apply_net_g(p, x, s, train=False)[0])
+        return self._eval_fns[key](params, self.state.stats, lq)
 
     def _test_params(self):
         if self.state.ema_params is not None:

@@ -1,0 +1,145 @@
+"""VideoBaseModel — frame-wise video validation with per-folder metrics
+(reference: basicsr/models/video_base_model.py:15-160)."""
+
+from __future__ import annotations
+
+from collections import Counter, OrderedDict
+from os import path as osp
+
+import numpy as np
+
+from ..metrics import calculate_metric
+from ..utils.img_util import imwrite, tensor2img
+from ..utils.logger import get_root_logger
+from ..utils.registry import MODEL_REGISTRY
+from .sr_model import SRModel
+
+
+@MODEL_REGISTRY.register()
+class VideoBaseModel(SRModel):
+    """Sliding-window video SR model: each item is a frame window, output is
+    the center frame."""
+
+    def _dummy_input(self):
+        import jax.numpy as jnp
+        num_in_ch = self.opt['network_g'].get('num_in_ch', 3)
+        num_frame = self.opt['network_g'].get('num_frame', 5)
+        return jnp.zeros((1, num_frame, 16, 16, num_in_ch), jnp.float32)
+
+    def dist_validation(self, dataloader, current_iter, tb_logger, save_img):
+        """On TPU, metric reduction is host-side; each process validates its
+        stride of frames and process 0 reports (the reference dist.reduces
+        GPU tensors, video_base_model.py:46-111)."""
+        if self.opt['rank'] == 0:
+            self.nondist_validation(dataloader, current_iter, tb_logger, save_img)
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
+        dataset = dataloader.dataset
+        dataset_name = dataset.opt['name']
+        with_metrics = self.opt['val'].get('metrics') is not None
+
+        if with_metrics:
+            num_frame_each_folder = Counter(dataset.data_info['folder'])
+            self.metric_results_per_folder = {
+                folder: np.zeros((num_frame, len(self.opt['val']['metrics'])), np.float32)
+                for folder, num_frame in num_frame_each_folder.items()
+            }
+            self._initialize_best_metric_results(dataset_name)
+
+        for val_data in dataloader:
+            folder = val_data['folder'][0]
+            frame_idx, max_idx = val_data['idx'][0].split('/')
+
+            self.feed_data(val_data)
+            self.test()
+            visuals = self.get_current_visuals()
+            result_img = tensor2img(visuals['result'])
+            if isinstance(result_img, list):
+                result_img = result_img[0]
+            metric_data = {'img': result_img}
+            if 'gt' in visuals:
+                gt_img = tensor2img(visuals['gt'])
+                if isinstance(gt_img, list):
+                    gt_img = gt_img[0]
+                metric_data['img2'] = gt_img
+
+            if save_img:
+                if self.opt['is_train']:
+                    raise NotImplementedError('saving image is not supported during training.')
+                if 'vimeo' in dataset_name.lower():
+                    split_result = val_data['lq_path'][0].split('/')
+                    img_name = f'{split_result[-3]}_{split_result[-2]}_{split_result[-1].split(".")[0]}'
+                else:
+                    img_name = osp.splitext(osp.basename(val_data['lq_path'][0]))[0]
+                if self.opt['val'].get('suffix'):
+                    save_img_path = osp.join(self.opt['path']['visualization'], dataset_name, folder,
+                                             f"{img_name}_{self.opt['val']['suffix']}.png")
+                else:
+                    save_img_path = osp.join(self.opt['path']['visualization'], dataset_name, folder,
+                                             f"{img_name}_{self.opt['name']}.png")
+                imwrite(result_img, save_img_path)
+
+            if with_metrics:
+                for metric_idx, opt_ in enumerate(self.opt['val']['metrics'].values()):
+                    result = calculate_metric(metric_data, opt_)
+                    self.metric_results_per_folder[folder][int(frame_idx), metric_idx] = result
+
+        if with_metrics:
+            self._log_video_metrics(current_iter, dataset_name, tb_logger)
+
+    def _log_video_metrics(self, current_iter, dataset_name, tb_logger):
+        """Average per folder and overall (reference video_base_model.py:113-160)."""
+        logger = get_root_logger()
+        metric_names = list(self.opt['val']['metrics'].keys())
+        # per-folder average over frames
+        metric_results_avg = {folder: folder_res.mean(axis=0)
+                              for folder, folder_res in self.metric_results_per_folder.items()}
+        total_avg = np.stack(list(metric_results_avg.values())).mean(axis=0)
+        self.metric_results = {name: float(total_avg[i]) for i, name in enumerate(metric_names)}
+        for name, value in self.metric_results.items():
+            self._update_best_metric_result(dataset_name, name, value, current_iter)
+
+        log_str = f'Validation {dataset_name}\n'
+        for metric_idx, name in enumerate(metric_names):
+            log_str += f'\t # {name}: {total_avg[metric_idx]:.4f}'
+            for folder, folder_avg in metric_results_avg.items():
+                log_str += f'\t # {folder}: {folder_avg[metric_idx]:.4f}'
+            if dataset_name in self.best_metric_results:
+                record = self.best_metric_results[dataset_name][name]
+                log_str += f'\n\t    Best: {record["val"]:.4f} @ {record["iter"]} iter'
+            log_str += '\n'
+        logger.info(log_str)
+        if tb_logger:
+            for metric_idx, name in enumerate(metric_names):
+                tb_logger.add_scalar(f'metrics/{name}', float(total_avg[metric_idx]), current_iter)
+                for folder, folder_avg in metric_results_avg.items():
+                    tb_logger.add_scalar(f'metrics/{name}/{folder}',
+                                         float(folder_avg[metric_idx]), current_iter)
+
+
+@MODEL_REGISTRY.register()
+class EDVRModel(VideoBaseModel):
+    """EDVR training specifics (reference: basicsr/models/edvr_model.py:7-62):
+    TSA-only warm-up (``tsa_iter``) and a dcn lr multiplier."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        if self.is_train:
+            self.tsa_iter = opt['train'].get('tsa_iter', 0)
+            self.dcn_lr_mul = opt['train'].get('dcn_lr_mul', 1.0)
+
+    def _postprocess_updates(self, updates, params, step):
+        import jax
+        import jax.numpy as jnp
+
+        def scale(path, u):
+            names = [getattr(p, 'key', str(p)) for p in path]
+            is_dcn = any('dcn' in n for n in names)
+            is_tsa = any(n == 'fusion' for n in names)
+            u = u * (self.dcn_lr_mul if is_dcn else 1.0)
+            if self.tsa_iter:
+                # during warm-up, only TSA fusion trains (reference edvr_model.py:30-52)
+                u = jnp.where(jnp.logical_or(step >= self.tsa_iter, is_tsa), u, 0.)
+            return u
+
+        return jax.tree_util.tree_map_with_path(scale, updates)

@@ -1,0 +1,142 @@
+"""VideoRecurrentModel — whole-sequence training/eval
+(reference: basicsr/models/video_recurrent_model.py:15-197)."""
+
+from __future__ import annotations
+
+from collections import Counter
+from os import path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import calculate_metric
+from ..utils.img_util import imwrite, tensor2img
+from ..utils.logger import get_root_logger
+from ..utils.registry import MODEL_REGISTRY
+from .video_base_model import VideoBaseModel
+
+
+@MODEL_REGISTRY.register()
+class VideoRecurrentModel(VideoBaseModel):
+    """Items carry whole folders; flow-net lr multiplier + freeze-for-N-iters
+    are applied as update masks inside the jitted step (the functional analog
+    of the reference's param groups + requires_grad toggling, :22-64)."""
+
+    def __init__(self, opt):
+        self.fix_flow_iter = opt.get('train', {}).get('fix_flow', 0) if opt.get('train') else 0
+        self.flow_lr_mul = opt.get('train', {}).get('flow_lr_mul', 1.0) if opt.get('train') else 1.0
+        super().__init__(opt)
+
+    def _dummy_input(self):
+        # >= 40px keeps the 6-level SpyNet pyramid non-degenerate
+        num_in_ch = self.opt['network_g'].get('num_in_ch', 3)
+        return jnp.zeros((1, 2, 40, 40, num_in_ch), jnp.float32)
+
+    def _postprocess_updates(self, updates, params, step):
+        def scale(path, u):
+            names = [getattr(p, 'key', str(p)) for p in path]
+            is_flow = any('spynet' in n or 'deform' in n for n in names)
+            if not is_flow:
+                return u
+            u = u * self.flow_lr_mul
+            if self.fix_flow_iter:
+                u = jnp.where(step >= self.fix_flow_iter, u, 0.)
+            return u
+
+        return jax.tree_util.tree_map_with_path(scale, updates)
+
+    def test(self):
+        """Whole-sequence inference with optional flip-sequence TTA and
+        center-frame-only output (reference :176-195)."""
+        lq = self.batch['lq']
+        flip_seq = self.opt['val'].get('flip_seq', False)
+        if flip_seq:
+            lq = jnp.concatenate([lq, lq[:, ::-1]], axis=1)
+        output = self._eval_apply(self._test_params(), lq)
+        if flip_seq:
+            n = output.shape[1] // 2
+            output_1 = output[:, :n]
+            output_2 = output[:, n:][:, ::-1]
+            output = 0.5 * (output_1 + output_2)
+        if self.opt['val'].get('center_frame_only', False):
+            output = output[:, output.shape[1] // 2]
+        self.output = output
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
+        """Folder-per-item validation (reference :66-174)."""
+        dataset = dataloader.dataset
+        dataset_name = dataset.opt['name']
+        with_metrics = self.opt['val'].get('metrics') is not None
+        metric_names = list(self.opt['val']['metrics'].keys()) if with_metrics else []
+
+        if with_metrics:
+            self.metric_results_per_folder = {}
+            self._initialize_best_metric_results(dataset_name)
+
+        for val_data in dataloader:
+            folder = val_data['folder'][0]
+            self.feed_data(val_data)
+            self.test()
+            visuals = self.get_current_visuals()
+            result = visuals['result'][0]    # (t, H, W, C)
+            gt = visuals.get('gt')
+            gt = gt[0] if gt is not None else None
+
+            if with_metrics:
+                folder_results = np.zeros((result.shape[0], len(metric_names)), np.float32)
+            for frame_idx in range(result.shape[0]):
+                result_img = tensor2img(result[frame_idx])
+                metric_data = {'img': result_img}
+                if gt is not None:
+                    metric_data['img2'] = tensor2img(gt[frame_idx])
+                if save_img:
+                    save_path = osp.join(self.opt['path']['visualization'], dataset_name, folder,
+                                         f'{frame_idx:08d}_{self.opt["name"]}.png')
+                    imwrite(result_img, save_path)
+                if with_metrics:
+                    for metric_idx, opt_ in enumerate(self.opt['val']['metrics'].values()):
+                        folder_results[frame_idx, metric_idx] = calculate_metric(metric_data, opt_)
+            if with_metrics:
+                self.metric_results_per_folder[folder] = folder_results
+
+        if with_metrics:
+            self._log_video_metrics(current_iter, dataset_name, tb_logger)
+
+
+def _flatten_frames(x):
+    """(B, T, H, W, C) -> (B*T, H, W, C) for the frame discriminator."""
+    if x.ndim == 5:
+        b, t = x.shape[:2]
+        return x.reshape(b * t, *x.shape[2:])
+    return x
+
+
+from .srgan_model import SRGANModel  # noqa: E402
+
+
+@MODEL_REGISTRY.register()
+class VideoRecurrentGANModel(SRGANModel, VideoRecurrentModel):
+    """GAN over the recurrent model (reference video_recurrent_gan_model.py:12).
+    MRO: training setup from SRGANModel; sequence eval from
+    VideoRecurrentModel; D sees frames flattened over (B, T)."""
+
+    def _g_gan_loss(self, output, gt, d_params, d_stats):
+        fake_g_pred, _ = self._d_apply(d_params, d_stats, _flatten_frames(output), train=True)
+        return self.cri_gan(fake_g_pred, True, is_disc=False)
+
+    def _d_losses(self, d_params, d_stats, gt, output_detached):
+        from collections import OrderedDict
+        real_d_pred, d_stats = self._d_apply(d_params, d_stats, _flatten_frames(gt), train=True)
+        l_d_real = self.cri_gan(real_d_pred, True, is_disc=True)
+        fake_d_pred, d_stats = self._d_apply(d_params, d_stats,
+                                             _flatten_frames(output_detached), train=True)
+        l_d_fake = self.cri_gan(fake_d_pred, False, is_disc=True)
+        logs = OrderedDict(l_d_real=l_d_real, l_d_fake=l_d_fake,
+                           out_d_real=jnp.mean(real_d_pred), out_d_fake=jnp.mean(fake_d_pred))
+        return l_d_real + l_d_fake, logs, d_stats
+
+
+@MODEL_REGISTRY.register()
+class VideoGANModel(SRGANModel, VideoBaseModel):
+    """GAN over the sliding-window video model (reference video_gan_model.py:7)."""

@@ -1,0 +1,172 @@
+"""Modulated deformable convolution (DCNv2), TPU-native.
+
+Replaces the reference's hand-written CUDA extension
+(reference: basicsr/ops/dcn/src/deform_conv_cuda_kernel.cu:191-696 and the
+autograd wrappers in ops/dcn/deform_conv.py:121-374). Instead of translating
+the im2col/col2im kernels, the op is expressed as K*K bilinear gathers +
+one contraction: XLA lowers the gathers to TPU-friendly dynamic-slices and
+autodiff produces the input/offset/mask/weight gradients (the scatter-add
+col2im of the reference) for free. A Pallas fused version can slot in behind
+the same API later.
+
+Layout: NHWC activations, HWIO weights. Offset/mask channel semantics match
+torch exactly — offset channels ``g*(2*K*K) + 2*k + {0: dy, 1: dx}``, mask
+channels ``g*K*K + k`` — so converted checkpoints behave identically.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..utils.registry import ARCH_REGISTRY
+
+
+def _bilinear_gather(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarray:
+    """Sample x (N,H,W,C) at float positions py/px (N,Ho,Wo); zeros outside."""
+    n, h, w, c = x.shape
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy = (py - y0)[..., None].astype(x.dtype)
+    wx = (px - x0)[..., None].astype(x.dtype)
+
+    def gather(iy, ix):
+        inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        vals = x[jnp.arange(n)[:, None, None], iyc, ixc]
+        return vals * inb[..., None].astype(x.dtype)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def modulated_deform_conv(x: jnp.ndarray,
+                          offset: jnp.ndarray,
+                          mask: Optional[jnp.ndarray],
+                          weight: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None,
+                          stride: int = 1,
+                          padding: int = 1,
+                          dilation: int = 1,
+                          groups: int = 1,
+                          deform_groups: int = 1) -> jnp.ndarray:
+    """DCNv2 forward (v1 when ``mask`` is None).
+
+    Args:
+        x: (N, H, W, Cin).
+        offset: (N, Ho, Wo, 2*dg*kh*kw), torch channel layout.
+        mask: (N, Ho, Wo, dg*kh*kw) in [0, 1], or None.
+        weight: (kh, kw, Cin//groups, Cout).
+    """
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    dg = deform_groups
+    cpg = cin // dg  # channels per deform group
+
+    off = offset.reshape(n, ho, wo, dg, kh * kw, 2)
+    msk = None if mask is None else mask.reshape(n, ho, wo, dg, kh * kw)
+
+    base_y = jax.lax.broadcasted_iota(jnp.float32, (ho, wo), 0) * stride - padding
+    base_x = jax.lax.broadcasted_iota(jnp.float32, (ho, wo), 1) * stride - padding
+
+    x_g = x.reshape(n, h, w, dg, cpg)
+
+    # sampled[k] per group -> (N, Ho, Wo, dg, cpg); static K*K loop.
+    columns = []
+    for k in range(kh * kw):
+        i, j = divmod(k, kw)
+        # gather per deform group: fold dg into batch for one vectorized gather
+        py = (base_y[None, None] + i * dilation + off[..., k, 0].transpose(0, 3, 1, 2)).reshape(n * dg, ho, wo)
+        px = (base_x[None, None] + j * dilation + off[..., k, 1].transpose(0, 3, 1, 2)).reshape(n * dg, ho, wo)
+        xg = x_g.transpose(0, 3, 1, 2, 4).reshape(n * dg, h, w, cpg)
+        sampled = _bilinear_gather(xg, py, px).reshape(n, dg, ho, wo, cpg)
+        sampled = sampled.transpose(0, 2, 3, 1, 4)  # (N, Ho, Wo, dg, cpg)
+        if msk is not None:
+            sampled = sampled * msk[..., k][..., None]
+        columns.append(sampled.reshape(n, ho, wo, cin))
+
+    patches = jnp.stack(columns, axis=3)  # (N, Ho, Wo, K*K, Cin)
+    wk = weight.reshape(kh * kw, cin // groups, cout)
+    if groups == 1:
+        out = jnp.einsum('nhwkc,kco->nhwo', patches, wk)
+    else:
+        cig = cin // groups
+        cog = cout // groups
+        p = patches.reshape(n, ho, wo, kh * kw, groups, cig)
+        wg = weight.reshape(kh, kw, cig, groups, cog).reshape(kh * kw, cig, groups, cog)
+        out = jnp.einsum('nhwkgc,kcgo->nhwgo', p, wg).reshape(n, ho, wo, cout)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+class ModulatedDeformConvPack(nn.Module):
+    """Offsets/masks from the *same* input (reference deform_conv.py:336-374)."""
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    groups: int = 1
+    deformable_groups: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    def _offset_conv(self, feat):
+        k = self.kernel_size
+        return nn.Conv(self.deformable_groups * 3 * k * k, (k, k),
+                       strides=(self.stride, self.stride), padding=self.padding,
+                       kernel_dilation=(self.dilation, self.dilation),
+                       kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                       dtype=self.dtype, name='conv_offset')(feat)
+
+    def _dcn(self, x, offset, mask):
+        k = self.kernel_size
+        fan_in = self.in_channels * k * k
+        stdv = 1. / math.sqrt(fan_in)
+        weight = self.param('kernel',
+                            lambda rng, shape: jax.random.uniform(rng, shape, jnp.float32, -stdv, stdv),
+                            (k, k, self.in_channels // self.groups, self.out_channels))
+        bias = (self.param('bias', nn.initializers.zeros, (self.out_channels,))
+                if self.use_bias else None)
+        return modulated_deform_conv(x, offset, mask, weight, bias, self.stride,
+                                     self.padding, self.dilation, self.groups,
+                                     self.deformable_groups)
+
+    @nn.compact
+    def __call__(self, x):
+        out = self._offset_conv(x)
+        o1, o2, mask = jnp.split(out, 3, axis=-1)
+        offset = jnp.concatenate((o1, o2), axis=-1)
+        mask = jax.nn.sigmoid(mask)
+        return self._dcn(x, offset, mask)
+
+
+@ARCH_REGISTRY.register()
+class DCNv2Pack(ModulatedDeformConvPack):
+    """Offsets/masks from a *separate* feature (reference arch_util.py:237-264);
+    used by EDVR PCD alignment and IconVSR."""
+
+    @nn.compact
+    def __call__(self, x, feat):
+        out = self._offset_conv(feat)
+        o1, o2, mask = jnp.split(out, 3, axis=-1)
+        offset = jnp.concatenate((o1, o2), axis=-1)
+        mask = jax.nn.sigmoid(mask)
+        # The reference warns when mean |offset| > 50 (arch_util.py:253-256);
+        # host-side warning is incompatible with jit — callers can inspect
+        # offsets via intermediates if needed.
+        return self._dcn(x, offset, mask)

@@ -25,6 +25,8 @@ import numpy as np
 
 def convert_tensor(key: str, arr: np.ndarray) -> np.ndarray:
     if key in ('kernel', 'weight', 'k0', 'k1') or key.endswith('kernel') or key.endswith('weight'):
+        if arr.ndim == 5:   # conv3d OIDHW -> DHWIO
+            return np.transpose(arr, (2, 3, 4, 1, 0))
         if arr.ndim == 4:   # OIHW -> HWIO
             return np.transpose(arr, (2, 3, 1, 0))
         if arr.ndim == 2:   # (out, in) -> (in, out)
@@ -38,9 +40,10 @@ def torch_key_to_path(key: str, rules: Optional[Sequence[Tuple[str, Any]]] = Non
         key = key[len('module.'):]
     for pattern, repl in (rules or []):
         key = re.sub(pattern, repl, key)
-    # fuse ModuleList indices: a.0.b -> a_0.b
-    key = re.sub(r'\.(\d+)\.', lambda m: f'_{m.group(1)}.', key)
-    key = re.sub(r'\.(\d+)$', lambda m: f'_{m.group(1)}', key)
+    # fuse ModuleList indices: a.0.b -> a_0.b (iterate for nested lists:
+    # a.2.0.b -> a_2_0.b)
+    while re.search(r'\.(\d+)(\.|$)', key):
+        key = re.sub(r'\.(\d+)(\.|$)', lambda m: f'_{m.group(1)}{m.group(2)}', key, count=1)
     parts = key.split('.')
     if parts[-1] == 'weight':
         parts[-1] = 'kernel'

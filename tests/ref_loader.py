@@ -75,6 +75,33 @@ def _ensure_stubs():
         import logging
         utils.get_root_logger = lambda *a, **k: logging.getLogger('ref')
 
+    # pure-torch fused_act stub (the reference file has no CPU fallback)
+    if not hasattr(sys.modules['basicsr.ops'], '_fused_stubbed'):
+        import torch
+        import torch.nn as tnn
+        import torch.nn.functional as tF
+
+        fa = types.ModuleType('basicsr.ops.fused_act')
+
+        def fused_leaky_relu(input, bias, negative_slope=0.2, scale=2**0.5):
+            return tF.leaky_relu(input + bias.view(1, -1, *([1] * (input.ndim - 2))),
+                                 negative_slope) * scale
+
+        class FusedLeakyReLU(tnn.Module):
+            def __init__(self, channel, negative_slope=0.2, scale=2**0.5):
+                super().__init__()
+                self.bias = tnn.Parameter(torch.zeros(channel))
+                self.negative_slope = negative_slope
+                self.scale = scale
+
+            def forward(self, input):
+                return fused_leaky_relu(input, self.bias, self.negative_slope, self.scale)
+
+        fa.fused_leaky_relu = fused_leaky_relu
+        fa.FusedLeakyReLU = FusedLeakyReLU
+        sys.modules['basicsr.ops.fused_act'] = fa
+        sys.modules['basicsr.ops']._fused_stubbed = True
+
     dcn = sys.modules['basicsr.ops.dcn']
     if not hasattr(dcn, 'ModulatedDeformConvPack'):
         import torch.nn as nn

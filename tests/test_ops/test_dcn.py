@@ -1,0 +1,132 @@
+"""DCNv2 correctness tests. The reference CUDA kernels can't run here, so
+correctness is anchored analytically: zero offsets reduce to a plain conv,
+integer offsets reduce to convs of shifted inputs, masks scale taps, and
+gradients check numerically (the reference col2im backward equivalence)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basicsr4rs_tpu.ops.dcn import DCNv2Pack, ModulatedDeformConvPack, modulated_deform_conv
+
+
+def _conv_ref(x, w, b):
+    out = jax.lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                       dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return out + b
+
+
+def test_zero_offset_equals_conv():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 8, 8, 4).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 4, 6).astype(np.float32))
+    b = jnp.asarray(rng.rand(6).astype(np.float32))
+    offset = jnp.zeros((2, 8, 8, 2 * 9))
+    mask = jnp.ones((2, 8, 8, 9))
+    out = modulated_deform_conv(x, offset, mask, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_conv_ref(x, w, b)), atol=1e-5)
+
+
+def test_integer_offset_shifts_sampling():
+    """Constant offset (dy=1, dx=0) equals conv over the y-shifted input."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 10, 10, 2).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 2, 3).astype(np.float32))
+    offset = jnp.zeros((1, 10, 10, 18)).at[..., 0::2].set(1.0)  # dy=1 for all taps
+    mask = jnp.ones((1, 10, 10, 9))
+    out = modulated_deform_conv(x, offset, mask, w, None)
+    x_shift = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))[:, 1:]  # shift up
+    ref = jax.lax.conv_general_dilated(x_shift, w, (1, 1), [(1, 1), (1, 1)],
+                                       dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    # interior rows only (borders differ: zero-pad boundary semantics)
+    np.testing.assert_allclose(np.asarray(out)[:, 1:-2], np.asarray(ref)[:, 1:-2], atol=1e-5)
+
+
+def test_fractional_offset_interpolates():
+    """dy=0.5 everywhere = average of dy=0 and dy=1 results (bilinear)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 8, 8, 2).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 2, 2).astype(np.float32))
+    mask = jnp.ones((1, 8, 8, 9))
+
+    def run(dy):
+        offset = jnp.zeros((1, 8, 8, 18)).at[..., 0::2].set(dy)
+        return modulated_deform_conv(x, offset, mask, w, None)
+
+    mid = run(0.5)
+    avg = (run(0.0) + run(1.0)) / 2
+    np.testing.assert_allclose(np.asarray(mid)[:, 2:-2, 2:-2], np.asarray(avg)[:, 2:-2, 2:-2], atol=1e-5)
+
+
+def test_mask_scales_taps():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 8, 8, 2).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 2, 2).astype(np.float32))
+    offset = jnp.zeros((1, 8, 8, 18))
+    half = modulated_deform_conv(x, offset, jnp.full((1, 8, 8, 9), 0.5), w, None)
+    full = modulated_deform_conv(x, offset, jnp.ones((1, 8, 8, 9)), w, None)
+    np.testing.assert_allclose(np.asarray(half), np.asarray(full) * 0.5, atol=1e-6)
+
+
+def test_deform_groups():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, 8, 8, 4).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 4, 4).astype(np.float32))
+    offset = jnp.zeros((1, 8, 8, 2 * 2 * 9))
+    mask = jnp.ones((1, 8, 8, 2 * 9))
+    out = modulated_deform_conv(x, offset, mask, w, None, deform_groups=2)
+    ref = jax.lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                       dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_gradients_flow():
+    """All inputs receive finite, nonzero gradients (col2im equivalence)."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 6, 6, 2).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 2, 2).astype(np.float32))
+    offset = jnp.asarray(rng.randn(1, 6, 6, 18).astype(np.float32) * 0.3)
+    mask = jnp.asarray(rng.rand(1, 6, 6, 9).astype(np.float32))
+
+    def loss(x, offset, mask, w):
+        return jnp.sum(modulated_deform_conv(x, offset, mask, w, None) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, offset, mask, w)
+    for g, name in zip(grads, ['x', 'offset', 'mask', 'weight']):
+        assert np.all(np.isfinite(np.asarray(g))), f'{name} grad not finite'
+        assert float(jnp.abs(g).max()) > 0, f'{name} grad all-zero'
+
+    # numerical check on a single weight element
+    eps = 1e-3
+    w_p = w.at[1, 1, 0, 0].add(eps)
+    w_m = w.at[1, 1, 0, 0].add(-eps)
+    num = (loss(x, offset, mask, w_p) - loss(x, offset, mask, w_m)) / (2 * eps)
+    np.testing.assert_allclose(float(grads[3][1, 1, 0, 0]), float(num), rtol=1e-2)
+
+
+def test_dcnv2pack_module():
+    """DCNv2Pack with zero-init offset conv == plain conv at init."""
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(1, 8, 8, 4).astype(np.float32))
+    feat = jnp.asarray(rng.rand(1, 8, 8, 4).astype(np.float32))
+    dcn = DCNv2Pack(in_channels=4, out_channels=6, deformable_groups=2)
+    params = dcn.init(jax.random.PRNGKey(0), x, feat)['params']
+    out = dcn.apply({'params': params}, x, feat)
+    assert out.shape == (1, 8, 8, 6)
+    # offset conv zero-init -> mask sigmoid(0)=0.5 -> equals 0.5 * conv
+    w = params['kernel']
+    b = params['bias']
+    ref = 0.5 * jax.lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref + b * 0 + b), atol=1e-5)
+
+
+def test_modulated_pack_module():
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 8, 8, 4).astype(np.float32))
+    m = ModulatedDeformConvPack(in_channels=4, out_channels=4)
+    params = m.init(jax.random.PRNGKey(0), x)['params']
+    out = m.apply({'params': params}, x)
+    assert out.shape == (2, 8, 8, 4)
+    assert 'conv_offset' in params
