@@ -74,7 +74,8 @@ class ChannelAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = jnp.mean(x, axis=(1, 2), keepdims=True)  # global average pool
-        y = nn.Conv(self.num_feat // self.squeeze_factor, (1, 1), dtype=self.dtype, name='squeeze')(y)
+        y = nn.Conv(max(1, self.num_feat // self.squeeze_factor), (1, 1),
+                    dtype=self.dtype, name='squeeze')(y)
         y = nn.relu(y)
         y = nn.Conv(self.num_feat, (1, 1), dtype=self.dtype, name='excite')(y)
         return x * jax.nn.sigmoid(y)
@@ -241,13 +242,15 @@ def resize_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return jnp.repeat(x, scale, axis=2)
 
 
-def _cubic_torch(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
-    """Cubic convolution kernel with a=-0.75 (torch's bicubic)."""
-    at = jnp.abs(t)
+def _cubic_torch(t, a: float = -0.75):
+    """Cubic convolution kernel with a=-0.75 (torch's bicubic). Pure numpy —
+    must stay host-side so the weights are jit constants."""
+    import numpy as np
+    at = np.abs(t)
     at2, at3 = at * at, at ** 3
     f1 = (a + 2) * at3 - (a + 3) * at2 + 1
     f2 = a * at3 - 5 * a * at2 + 8 * a * at - 4 * a
-    return jnp.where(at <= 1, f1, jnp.where(at < 2, f2, 0.0))
+    return np.where(at <= 1, f1, np.where(at < 2, f2, 0.0))
 
 
 def _bicubic_weights(in_size: int, out_size: int, align_corners: bool):
@@ -261,7 +264,7 @@ def _bicubic_weights(in_size: int, out_size: int, align_corners: bool):
     frac = pos - base
     idx = base[:, None] + np.arange(-1, 3)[None, :]        # (out, 4)
     t = frac[:, None] - np.arange(-1, 3)[None, :]
-    w = np.asarray(_cubic_torch(jnp.asarray(t)))
+    w = _cubic_torch(t)
     idx = np.clip(idx, 0, in_size - 1)
     return jnp.asarray(w, jnp.float32), jnp.asarray(idx)
 
