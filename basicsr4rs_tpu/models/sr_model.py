@@ -47,7 +47,7 @@ class SRModel(BaseModel):
                 type(self.net_g).__call__).parameters
         except (TypeError, ValueError):
             self._net_accepts_train = False
-        variables = self.net_g.init(init_rng, self._dummy_input())
+        variables = self._init_variables(init_rng)
         self.params = variables['params']
         # non-param collections (BatchNorm running stats in DUF/TOF etc.)
         self.net_stats = dict(variables.get('batch_stats', {}))
@@ -77,6 +77,11 @@ class SRModel(BaseModel):
         polymorphic; video models override with a 5D clip)."""
         num_in_ch = self.opt['network_g'].get('num_in_ch', 3)
         return jnp.zeros((1, 32, 32, num_in_ch), jnp.float32)
+
+    def _init_variables(self, init_rng):
+        """Hook for models whose networks take extra call args (diffusion
+        UNets take (x, t, lq))."""
+        return self.net_g.init(init_rng, self._dummy_input())
 
     # ----------------------------------------------------------- training
     def init_training_settings(self):
