@@ -20,21 +20,19 @@ from ..utils.registry import ARCH_REGISTRY
 from .arch_util import resize_bilinear
 
 
-def spectral_normalize(w: jnp.ndarray, n_iters: int = 15, eps: float = 1e-12) -> jnp.ndarray:
-    """Normalize an HWIO conv kernel (or 2D matrix) by its top singular value."""
+def spectral_normalize(w: jnp.ndarray, n_iters: int = 0, eps: float = 1e-12) -> jnp.ndarray:
+    """Normalize an HWIO conv kernel (or 2D matrix) by its top singular value.
+
+    Sigma is exact: the top eigenvalue of the (small-side) Gram matrix via
+    ``eigvalsh`` — one matmul + a symmetric eigensolve, both XLA-native. This
+    beats torch's running one-step power iteration (which needs many forward
+    passes to converge when the spectrum is near-degenerate, e.g. 1x1
+    shortcut convs) and is deterministic under jit. ``n_iters`` is kept for
+    API compatibility and ignored."""
     mat = w.reshape(-1, w.shape[-1]) if w.ndim > 2 else w  # (in*k*k, out)
-
-    def body(_, uv):
-        u, v = uv
-        v = mat @ u
-        v = v / (jnp.linalg.norm(v) + eps)
-        u = mat.T @ v
-        u = u / (jnp.linalg.norm(u) + eps)
-        return (u, v)
-
-    u0 = jnp.ones((mat.shape[1],), w.dtype) / jnp.sqrt(mat.shape[1])
-    u, v = jax.lax.fori_loop(0, n_iters, body, (u0, jnp.ones((mat.shape[0],), w.dtype)))
-    sigma = v @ (mat @ u)
+    n, o = mat.shape
+    gram = mat.T @ mat if o <= n else mat @ mat.T
+    sigma = jnp.sqrt(jnp.clip(jnp.linalg.eigvalsh(gram)[-1], 0.0, None))
     return w / (sigma + eps)
 
 

@@ -90,3 +90,34 @@ class WeightedTVLoss(L1Loss):
         y_diff = super().__call__(pred[:, :-1, :, :], pred[:, 1:, :, :], weight=y_weight)
         x_diff = super().__call__(pred[:, :, :-1, :], pred[:, :, 1:, :], weight=x_weight)
         return x_diff + y_diff
+
+
+@LOSS_REGISTRY.register()
+class GANFeatLoss:
+    """Discriminator feature-matching loss for multiscale patch GANs
+    (pix2pixHD-style; consumed by HiFaceGANModel via ``feature_matching_opt``,
+    reference hifacegan_model.py:46-49,150-154). Input is a list (per
+    discriminator scale) of lists of intermediate feature maps."""
+
+    def __init__(self, criterion: str = 'l1', loss_weight: float = 1.0,
+                 reduction: str = 'mean'):
+        if criterion == 'l1':
+            self.loss_op = l1_loss
+        elif criterion in ('l2', 'mse'):
+            self.loss_op = mse_loss
+        elif criterion == 'charbonnier':
+            self.loss_op = charbonnier_loss
+        else:
+            raise ValueError(f'Unsupported loss mode: {criterion}. Supported ones are: l1|l2|charbonnier')
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+
+    def __call__(self, pred_fake, pred_real):
+        import jax
+        num_d = len(pred_fake)
+        loss = 0.
+        for fake_feats, real_feats in zip(pred_fake, pred_real):
+            for f, r in zip(fake_feats[:-1], real_feats[:-1]):
+                loss += self.loss_op(f, jax.lax.stop_gradient(r),
+                                     reduction=self.reduction) / num_d
+        return loss * self.loss_weight

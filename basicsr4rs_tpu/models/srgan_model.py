@@ -35,10 +35,7 @@ class SRGANModel(SRModel):
         # Discriminator (reference srgan_model.py:23-36).
         self.net_d = build_network(self.opt['network_d'])
         self.rng, d_rng = jax.random.split(self.rng)
-        d_in_ch = self.opt['network_d'].get('num_in_ch', 3)
-        d_size = self.opt['network_d'].get('input_size', 128)
-        dummy = jnp.zeros((1, d_size, d_size, d_in_ch), jnp.float32)
-        d_vars = self._init_d(d_rng, dummy)
+        d_vars = self._init_d(d_rng, self._d_dummy_input())
         d_params = d_vars['params']
         self.d_stats = dict(d_vars.get('batch_stats', {}))
 
@@ -79,6 +76,11 @@ class SRGANModel(SRModel):
         self.state = replicate(g_state, self.mesh)
         self.d_state = replicate(d_state, self.mesh)
         self._build_train_step()
+
+    def _d_dummy_input(self):
+        d_in_ch = self.opt['network_d'].get('num_in_ch', 3)
+        d_size = self.opt['network_d'].get('input_size', 128)
+        return jnp.zeros((1, d_size, d_size, d_in_ch), jnp.float32)
 
     def _init_d(self, rng, dummy):
         try:

@@ -45,7 +45,7 @@ def torch_key_to_path(key: str, rules: Optional[Sequence[Tuple[str, Any]]] = Non
     while re.search(r'\.(\d+)(\.|$)', key):
         key = re.sub(r'\.(\d+)(\.|$)', lambda m: f'_{m.group(1)}{m.group(2)}', key, count=1)
     parts = key.split('.')
-    if parts[-1] == 'weight':
+    if parts[-1] in ('weight', 'weight_orig'):  # weight_orig: spectral-norm wrapper
         parts[-1] = 'kernel'
     return parts
 
@@ -57,6 +57,8 @@ def convert_torch_state_dict(state_dict: Dict[str, Any],
     for key, value in state_dict.items():
         if key.endswith(('.mask', 'relative_position_index', 'attn_mask')):
             continue  # fixed buffers (ECBSR masks, Swin indices) are code constants here
+        if key.endswith(('.weight_u', '.weight_v')):
+            continue  # spectral-norm power-iteration state (recomputed on TPU)
         arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, 'detach') else value)
         path = torch_key_to_path(key, rules)
         arr = convert_tensor(path[-1], arr)

@@ -113,3 +113,82 @@ def test_gan_save_resume(tmp_path):
     model2.feed_data(_batch())
     model2.optimize_parameters(2)
     assert np.isfinite(model2.get_current_log()['l_g_total'])
+
+
+def test_hifacegan_model():
+    """Conditional multiscale D + feature matching in one jitted step
+    (reference hifacegan_model.py:14-190)."""
+    opt = yaml_load("""
+name: test_hifacegan
+model_type: HiFaceGANModel
+scale: 1
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+network_g: {type: HiFaceGAN, num_in_ch: 3, num_feat: 4, crop_size: 64}
+network_d: {type: HiFaceGANDiscriminator, num_in_ch: 3, num_out_ch: 3, num_d: 2,
+            n_layers_d: 4, num_feat: 8}
+path: {pretrain_network_g: ~, pretrain_network_d: ~}
+train:
+  ema_decay: 0
+  net_d_iters: 1
+  net_d_init_iters: 0
+  optim_g: {type: Adam, lr: !!float 1e-4}
+  optim_d: {type: Adam, lr: !!float 1e-4}
+  scheduler: {type: MultiStepLR, milestones: [50000], gamma: 0.5}
+  total_iter: 100
+  warmup_iter: -1
+  pixel_opt: {type: L1Loss, loss_weight: 1.0, reduction: mean}
+  feature_matching_opt: {type: GANFeatLoss, criterion: l1, loss_weight: 1.0}
+  gan_opt: {type: MultiScaleGANLoss, gan_type: hinge, loss_weight: 1.0}
+val:
+  val_freq: 100
+  metrics:
+    psnr: {type: calculate_psnr, crop_border: 0}
+""")
+    model = build_model(opt)
+    rng = np.random.RandomState(0)
+    batch = {'lq': rng.rand(2, 64, 64, 3).astype(np.float32),
+             'gt': rng.rand(2, 64, 64, 3).astype(np.float32)}
+    model.feed_data(batch)
+    p0 = np.asarray(model.state.params['lip_encoder']['model_0']['kernel']).copy()
+    for it in (1, 2):
+        model.optimize_parameters(it)
+    logs = model.get_current_log()
+    for k in ('l_g_pix', 'l_g_gan', 'l_g_feat', 'l_d_real', 'l_d_fake'):
+        assert np.isfinite(logs[k]), logs
+    p1 = np.asarray(model.state.params['lip_encoder']['model_0']['kernel'])
+    assert not np.allclose(p0, p1)
+    model.test()
+    assert model.output.shape == (2, 64, 64, 3)
+
+
+def test_hifacegan_model_rejects_ema():
+    opt = yaml_load("""
+name: test_hifacegan_ema
+model_type: HiFaceGANModel
+scale: 1
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+network_g: {type: HiFaceGAN, num_in_ch: 3, num_feat: 4, crop_size: 64}
+network_d: {type: HiFaceGANDiscriminator, num_in_ch: 3, num_out_ch: 3, num_d: 2, num_feat: 8}
+path: {pretrain_network_g: ~, pretrain_network_d: ~}
+train:
+  ema_decay: 0.999
+  optim_g: {type: Adam, lr: !!float 1e-4}
+  optim_d: {type: Adam, lr: !!float 1e-4}
+  scheduler: {type: MultiStepLR, milestones: [50000], gamma: 0.5}
+  total_iter: 100
+  pixel_opt: {type: L1Loss, loss_weight: 1.0}
+  gan_opt: {type: MultiScaleGANLoss, gan_type: hinge, loss_weight: 1.0}
+val: ~
+""")
+    with pytest.raises(NotImplementedError):
+        build_model(opt)
