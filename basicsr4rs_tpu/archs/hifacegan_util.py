@@ -70,6 +70,7 @@ class SNConv2d(nn.Module):
     stride: int = 1
     pad: int = 1
     use_bias: bool = True
+    dilation: int = 1
     dtype: Any = None
 
     @nn.compact
@@ -81,6 +82,7 @@ class SNConv2d(nn.Module):
         out = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype), (self.stride, self.stride),
             [(self.pad, self.pad), (self.pad, self.pad)],
+            rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         if self.use_bias:
             out = out + self.param('bias', nn.initializers.zeros,

@@ -46,6 +46,45 @@ def _ensure_stubs():
         tv.transforms = tf
         tf.functional = tff
 
+        # torchvision.models.vgg stub: real architecture (cfg-built Sequential
+        # of Conv/ReLU/MaxPool), random weights — enough for structural parity
+        # tests that convert the state_dict anyway.
+        import torch.nn as _nn
+
+        _VGG_CFGS = {
+            'vgg11': [64, 'M', 128, 'M', 256, 256, 'M', 512, 512, 'M', 512, 512, 'M'],
+            'vgg13': [64, 64, 'M', 128, 128, 'M', 256, 256, 'M', 512, 512, 'M', 512, 512, 'M'],
+            'vgg16': [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 'M', 512, 512, 512, 'M',
+                      512, 512, 512, 'M'],
+            'vgg19': [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 256, 'M', 512, 512, 512, 512,
+                      'M', 512, 512, 512, 512, 'M'],
+        }
+
+        def _make_vgg(cfg_name, batch_norm=False):
+            def build(pretrained=False, **kwargs):
+                layers, in_ch = [], 3
+                for v in _VGG_CFGS[cfg_name]:
+                    if v == 'M':
+                        layers.append(_nn.MaxPool2d(2, 2))
+                    else:
+                        layers.append(_nn.Conv2d(in_ch, v, 3, padding=1))
+                        if batch_norm:
+                            layers.append(_nn.BatchNorm2d(v))
+                        layers.append(_nn.ReLU(inplace=True))
+                        in_ch = v
+                return types.SimpleNamespace(features=_nn.Sequential(*layers))
+            return build
+
+        vgg_mod = types.ModuleType('torchvision.models.vgg')
+        for _name in list(_VGG_CFGS):
+            setattr(vgg_mod, _name, _make_vgg(_name))
+            setattr(vgg_mod, f'{_name}_bn', _make_vgg(_name, batch_norm=True))
+        models_mod = types.ModuleType('torchvision.models')
+        models_mod.vgg = vgg_mod
+        sys.modules['torchvision.models'] = models_mod
+        sys.modules['torchvision.models.vgg'] = vgg_mod
+        tv.models = models_mod
+
     class _NoopRegistry:
         def register(self, *a, **k):
             def deco(x):
