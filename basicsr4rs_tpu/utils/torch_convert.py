@@ -59,6 +59,8 @@ def convert_torch_state_dict(state_dict: Dict[str, Any],
             continue  # fixed buffers (ECBSR masks, Swin indices) are code constants here
         if key.endswith(('.weight_u', '.weight_v')):
             continue  # spectral-norm power-iteration state (recomputed on TPU)
+        if key.endswith('num_batches_tracked'):
+            continue  # BN step counter — meaningless for frozen inference BN
         arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, 'detach') else value)
         path = torch_key_to_path(key, rules)
         arr = convert_tensor(path[-1], arr)
