@@ -36,9 +36,44 @@ class SwinIRModel(SRModel):
         self.output = output[:, :h_old * scale, :w_old * scale, :]
 
 
-# RS variants are behavioral aliases in the reference
-# (swinir_model.py:40-79 compose SRRS mixins); the RS behaviors (CSV metrics,
-# [-1,1] visuals) live in srrs models and subclass this the same way.
+# RS variants compose the SwinIR window-pad test with the SRRS behaviors
+# (CSV metrics, [-1,1] visuals, L2S band handling) via MRO, exactly like the
+# reference (swinir_model.py:40-79).
+from .srrs_l2s_model import L2SSingleModel  # noqa: E402
+from .srrs_l2shm_model import L2SSingleHMModel  # noqa: E402
+from .srrs_model import SRRSModel  # noqa: E402
+
+
 @MODEL_REGISTRY.register()
-class SwinIRRSModel(SwinIRModel):
+class SwinIRRSModel(SwinIRModel, SRRSModel):
     pass
+
+
+@MODEL_REGISTRY.register()
+class SwinIRL2sModel(SwinIRModel, L2SSingleModel):
+    pass
+
+
+@MODEL_REGISTRY.register()
+class SwinIRHMModel(L2SSingleHMModel):
+    """Window-padded test over the dual-branch (gt/hm) output
+    (reference swinir_model.py:50-79)."""
+
+    def test(self):
+        window_size = self.opt['network_g'].get('sr_net_args', {}).get('window_size') \
+            or self.opt['network_g'].get('window_size', 8)
+        scale = self.opt.get('scale', 1)
+        lq = self.batch['lq']
+        _, h_old, w_old, _ = lq.shape
+        lq_padded = pad_to_multiple(lq, window_size)
+        result = self._eval_apply(self._test_params(), lq_padded)
+
+        def crop(img):
+            return img[:, :h_old * scale, :w_old * scale, :]
+
+        if isinstance(result, dict):
+            result = {k: crop(v) for k, v in result.items()}
+            self.output = result.get('gt', result.get('hm'))
+            self.output_hm = result.get('hm')
+        else:
+            self.output = crop(result)

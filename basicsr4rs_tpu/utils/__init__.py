@@ -1,5 +1,7 @@
 from .color_util import bgr2ycbcr, rgb2ycbcr, rgb2ycbcr_jax, ycbcr2bgr, ycbcr2rgb
 from .dist_util import get_dist_info, get_device_info, init_dist, is_master, master_only
+from .download_util import download_file_from_google_drive, load_file_from_url
+from .flow_util import dequantize_flow, flowread, flowwrite, quantize_flow
 from .img_util import (crop_border, imfrombytes, img2tensor, imwrite,
                        minusone_one_tensor_to_ubyte_numpy, tensor2img)
 from .logger import AvgTimer, MessageLogger, get_env_info, get_root_logger, init_tb_logger, init_wandb_logger
