@@ -75,3 +75,10 @@ class AlignAutoencoder(nn.Module):
         stage1 = self.encode(x)
         stage2 = self.decode(stage1)
         return {'stage1': stage1, 'stage2': stage2}
+
+
+# Several shipped configs (options/train/AlignAutoencoder/*,
+# train_SwinIR_StyleCNN_*) use the pre-rename class name ``StyleResNet`` for
+# this conv-CAB autoencoder; the class itself is absent from the reference
+# tree, so the alias preserves those configs' intent.
+ARCH_REGISTRY.register(AlignAutoencoder, 'StyleResNet')

@@ -91,3 +91,8 @@ def _center_crop_to(x, target):
         return x
     t, l = dh // 2, dw // 2
     return x[:, t:t + target.shape[1], l:l + target.shape[2], :]
+
+
+# options/train/AlignAutoencoder/*.yml name this trainer ``RegistrationModel``
+# (absent from the reference tree); it is the registration-AE trainer.
+MODEL_REGISTRY.register(AlignSingleModel, 'RegistrationModel')

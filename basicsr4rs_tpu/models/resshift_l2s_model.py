@@ -60,3 +60,9 @@ class RSResDiffHMModel(ResShiftL2SModel):
             data = dict(data)
             data['gt'] = data['hm']
         super().feed_data(data)
+
+
+# Shipped ResDiff configs (options/train/ResDiff/*.yml) use the pre-rename
+# model name; the class is absent from the reference tree — alias to the
+# pixel-space L2S ResShift model they describe.
+MODEL_REGISTRY.register(ResShiftL2SModel, 'RSResDiffModel')
