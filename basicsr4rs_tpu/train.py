@@ -218,6 +218,10 @@ def train_pipeline(root_path):
     return model
 
 
-if __name__ == '__main__':
+def main():
     root_path = osp.abspath(osp.join(__file__, osp.pardir, osp.pardir))
     train_pipeline(root_path)
+
+
+if __name__ == '__main__':
+    main()
