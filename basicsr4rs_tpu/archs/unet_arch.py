@@ -17,7 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..utils.registry import ARCH_REGISTRY
-from .arch_util import resize_bicubic, resize_nearest
+from .arch_util import pixel_unshuffle, resize_bicubic, resize_nearest
 from .swinir_arch import WindowAttention, window_partition, window_reverse, _shift_attn_mask
 
 
@@ -445,3 +445,129 @@ class UNetModel(nn.Module):
         h = nn.silu(h)
         return nn.Conv(self.out_channels, (3, 3), kernel_init=nn.initializers.zeros,
                        dtype=self.dtype, name='out_2')(h)
+
+
+class ResBlockConv(nn.Module):
+    """Norm-free residual block (SiLU-conv / FiLM emb / SiLU-zero-conv)
+    (reference unet_arch.py:928-1019)."""
+    channels: int
+    emb_channels: int
+    out_channels: Optional[int] = None
+    use_conv: bool = False
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, emb):
+        out_ch = self.out_channels or self.channels
+        h = nn.silu(x)
+        if self.up:
+            h = resize_nearest(h, 2)
+            x = resize_nearest(x, 2)
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name='in_layers_1')(h)
+
+        emb_out = nn.Dense(2 * out_ch if self.use_scale_shift_norm else out_ch,
+                           dtype=self.dtype, name='emb_layers_1')(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+        if self.use_scale_shift_norm:
+            # norm-free FiLM: modulation applies directly to the features
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = h * (1 + scale) + shift
+        else:
+            h = h + emb_out
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3), kernel_init=nn.initializers.zeros,
+                    dtype=self.dtype, name='out_layers_1')(h)
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name='skip_connection')(x)
+        else:
+            skip = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name='skip_connection')(x)
+        return skip + h
+
+
+@ARCH_REGISTRY.register()
+class UNetModelConv(nn.Module):
+    """Attention-free, norm-free conv UNet with timestep embedding
+    (reference unet_arch.py:1021-1196)."""
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: Any = 2
+    cond_lq: bool = True
+    channel_mult: Sequence[int] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, timesteps, lq=None, deterministic: bool = True):
+        num_res_blocks = (self.num_res_blocks if isinstance(self.num_res_blocks, (list, tuple))
+                          else [self.num_res_blocks] * len(self.channel_mult))
+        time_embed_dim = self.model_channels * 4
+        emb = timestep_embedding(timesteps, self.model_channels)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name='time_embed_0')(emb)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name='time_embed_2')(nn.silu(emb))
+
+        if lq is not None:
+            assert self.cond_lq
+            if lq.shape[1] != x.shape[1]:
+                lq = pixel_unshuffle(lq, 2)
+            x = jnp.concatenate([x, lq], axis=-1)
+
+        def res(name, ch_in, ch_out, **kw):
+            return ResBlockConv(ch_in, time_embed_dim, out_channels=ch_out,
+                                use_scale_shift_norm=self.use_scale_shift_norm,
+                                dtype=self.dtype, name=name, **kw)
+
+        ch = int(self.channel_mult[0] * self.model_channels)
+        h = nn.Conv(ch, (3, 3), dtype=self.dtype, name='input_blocks_0_0')(x)
+        hs = [h]
+        input_block_chans = [ch]
+        blk = 1
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(num_res_blocks[level]):
+                h = res(f'input_blocks_{blk}_0', ch, int(mult * self.model_channels))(h, emb)
+                ch = int(mult * self.model_channels)
+                hs.append(h)
+                input_block_chans.append(ch)
+                blk += 1
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = res(f'input_blocks_{blk}_0', ch, ch, down=True)(h, emb)
+                else:
+                    h = ADMDownsample(ch, self.conv_resample, out_channels=ch,
+                                      dtype=self.dtype, name=f'input_blocks_{blk}_0')(h)
+                hs.append(h)
+                input_block_chans.append(ch)
+                blk += 1
+
+        h = res('middle_block_0', ch, ch)(h, emb)
+        h = res('middle_block_1', ch, ch)(h, emb)
+
+        blk = 0
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(num_res_blocks[level] + 1):
+                ich = input_block_chans.pop()
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = res(f'output_blocks_{blk}_0', ch + ich,
+                        int(self.model_channels * mult))(h, emb)
+                ch = int(self.model_channels * mult)
+                if level and i == num_res_blocks[level]:
+                    if self.resblock_updown:
+                        h = res(f'output_blocks_{blk}_1', ch, ch, up=True)(h, emb)
+                    else:
+                        h = ADMUpsample(ch, self.conv_resample, out_channels=ch,
+                                        dtype=self.dtype, name=f'output_blocks_{blk}_1')(h)
+                blk += 1
+
+        h = nn.silu(h)
+        return nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name='out_1')(h)
