@@ -183,7 +183,8 @@ class SRModel(BaseModel):
         the device prefetcher) pass through untouched."""
         arrays = {k: v for k, v in data.items()
                   if isinstance(v, (np.ndarray, jax.Array))}
-        self.batch = shard_batch(arrays, self.mesh)
+        spatial = (self.opt.get('parallel') or {}).get('spatial', 1) > 1
+        self.batch = shard_batch(arrays, self.mesh, spatial_sharded=spatial)
         self.batch_meta = {k: v for k, v in data.items() if k not in arrays}
 
     def optimize_parameters(self, current_iter):
