@@ -91,7 +91,11 @@ class Mlp(nn.Module):
 
 
 class WindowAttention(nn.Module):
-    """W-MSA with relative position bias (reference swinir_arch.py:95-192)."""
+    """W-MSA with relative position bias (reference swinir_arch.py:95-192).
+
+    Two call paths over the SAME parameters: ``__call__`` (windowed tokens,
+    differentiable, torch-parity) and ``fused`` (full NHWC map through the
+    Pallas fused window-attention kernel — inference fast path on TPU)."""
     dim: int
     window_size: Tuple[int, int]
     num_heads: int
@@ -101,37 +105,60 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.relative_position_bias_table = self.param(
+            'relative_position_bias_table', trunc_normal_init(.02),
+            ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1),
+             self.num_heads))
+        self.qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                            kernel_init=trunc_normal_init(.02), dtype=self.dtype)
+        self.proj = nn.Dense(self.dim, kernel_init=trunc_normal_init(.02),
+                             dtype=self.dtype)
+        self.attn_dropout = nn.Dropout(self.attn_drop)
+        self.proj_dropout = nn.Dropout(self.proj_drop)
+
+    def _bias_matrix(self, n):
+        idx = _relative_position_index(*self.window_size)
+        table = self.relative_position_bias_table
+        return table[idx.reshape(-1)].reshape(n, n, -1).transpose(2, 0, 1)  # (nH, n, n)
+
     def __call__(self, x, mask=None, deterministic: bool = True):
         b_, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
 
-        table = self.param('relative_position_bias_table', trunc_normal_init(.02),
-                           ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1),
-                            self.num_heads))
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
-                       kernel_init=trunc_normal_init(.02), dtype=self.dtype, name='qkv')(x)
+        qkv = self.qkv(x)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]          # (b_, nH, n, hd)
 
         attn = (q * scale) @ k.transpose(0, 1, 3, 2)  # (b_, nH, n, n)
-
-        idx = _relative_position_index(*self.window_size)
-        bias = table[idx.reshape(-1)].reshape(n, n, -1).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
+        attn = attn + self._bias_matrix(n)[None].astype(attn.dtype)
 
         if mask is not None:
             nw = mask.shape[0]
             attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n) + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(-1, self.num_heads, n, n)
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        attn = self.attn_dropout(attn, deterministic=deterministic)
 
         x = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
-        x = nn.Dense(self.dim, kernel_init=trunc_normal_init(.02), dtype=self.dtype, name='proj')(x)
-        x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+        x = self.proj(x)
+        x = self.proj_dropout(x, deterministic=deterministic)
         return x
+
+    def fused(self, x, window_size: int, mask=None, deterministic: bool = True):
+        """x: (B, H, W, C) (already shifted); one Pallas kernel per layer."""
+        from ..ops.window_attention import fused_window_attention
+        n = window_size * window_size
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+        qkv = self.qkv(x)
+        bias = self._bias_matrix(n)[None].astype(jnp.float32)  # (1, nH, n, n)
+        if mask is not None:
+            bias = bias + jnp.asarray(mask)[:, None].astype(jnp.float32)
+        out = fused_window_attention(qkv, bias, window_size, self.num_heads, scale)
+        out = self.proj(out)
+        return self.proj_dropout(out, deterministic=deterministic)
 
 
 class DropPath(nn.Module):
@@ -160,6 +187,7 @@ class SwinTransformerBlock(nn.Module):
     drop: float = 0.
     attn_drop: float = 0.
     drop_path: float = 0.
+    fused_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -182,12 +210,17 @@ class SwinTransformerBlock(nn.Module):
         else:
             mask = None
 
-        x_windows = window_partition(x, window_size).reshape(-1, window_size * window_size, c)
-        attn_windows = WindowAttention(self.dim, (window_size, window_size), self.num_heads,
-                                       self.qkv_bias, self.qk_scale, self.attn_drop, self.drop,
-                                       dtype=self.dtype, name='attn')(
-            x_windows, mask=mask, deterministic=deterministic)
-        x = window_reverse(attn_windows.reshape(-1, window_size, window_size, c), window_size, h, w)
+        attn_mod = WindowAttention(self.dim, (window_size, window_size), self.num_heads,
+                                   self.qkv_bias, self.qk_scale, self.attn_drop, self.drop,
+                                   dtype=self.dtype, name='attn')
+        if self.fused_attn and self.attn_drop == 0.:
+            # Pallas fused kernel over the full (shifted) NHWC map
+            x = attn_mod.fused(x, window_size, mask=mask, deterministic=deterministic)
+        else:
+            x_windows = window_partition(x, window_size).reshape(-1, window_size * window_size, c)
+            attn_windows = attn_mod(x_windows, mask=mask, deterministic=deterministic)
+            x = window_reverse(attn_windows.reshape(-1, window_size, window_size, c),
+                               window_size, h, w)
 
         if shift_size > 0:
             x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
@@ -212,6 +245,7 @@ class BasicLayer(nn.Module):
     drop: float = 0.
     attn_drop: float = 0.
     drop_path: Sequence[float] = ()
+    fused_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -223,6 +257,7 @@ class BasicLayer(nn.Module):
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
+                fused_attn=self.fused_attn,
                 dtype=self.dtype, name=f'blocks_{i}')(x, x_size, deterministic)
         return x
 
@@ -240,6 +275,7 @@ class RSTB(nn.Module):
     attn_drop: float = 0.
     drop_path: Sequence[float] = ()
     resi_connection: str = '1conv'
+    fused_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -247,7 +283,8 @@ class RSTB(nn.Module):
         h, w = x_size
         res = BasicLayer(self.dim, self.depth, self.num_heads, self.window_size,
                          self.mlp_ratio, self.qkv_bias, self.qk_scale, self.drop,
-                         self.attn_drop, self.drop_path, dtype=self.dtype,
+                         self.attn_drop, self.drop_path, fused_attn=self.fused_attn,
+                         dtype=self.dtype,
                          name='residual_group')(x, x_size, deterministic)
         b, n, c = res.shape
         img = res.reshape(b, h, w, c)
@@ -295,6 +332,7 @@ class SwinIR(nn.Module):
     img_range: float = 1.
     upsampler: str = ''
     resi_connection: str = '1conv'
+    fused_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -327,7 +365,8 @@ class SwinIR(nn.Module):
                 seq = RSTB(self.embed_dim, depth, self.num_heads[i], self.window_size,
                            self.mlp_ratio, self.qkv_bias, self.qk_scale, self.drop_rate,
                            self.attn_drop_rate, tuple(dpr[start:start + depth]),
-                           self.resi_connection, dtype=self.dtype,
+                           self.resi_connection, fused_attn=self.fused_attn,
+                           dtype=self.dtype,
                            name=f'layers_{i}')(seq, (hh, ww), deterministic)
             seq = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm')(seq)
             return seq.reshape(bb, hh, ww, cc)
