@@ -151,6 +151,7 @@ class SwinBlockGN(nn.Module):
     window_size: int
     shift_size: int
     mlp_ratio: float = 2.
+    fused_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -168,11 +169,14 @@ class SwinBlockGN(nn.Module):
             mask = jnp.asarray(_shift_attn_mask(h, w, window_size, shift_size))
         else:
             mask = None
-        xw = window_partition(xn, window_size).reshape(-1, window_size * window_size, c)
-        attn = WindowAttention(self.dim, (window_size, window_size), self.num_heads,
-                               dtype=self.dtype, name='attn')(xw, mask=mask,
-                                                              deterministic=deterministic)
-        xn = window_reverse(attn.reshape(-1, window_size, window_size, c), window_size, h, w)
+        attn_mod = WindowAttention(self.dim, (window_size, window_size), self.num_heads,
+                                   dtype=self.dtype, name='attn')
+        if self.fused_attn:
+            xn = attn_mod.fused(xn, window_size, mask=mask, deterministic=deterministic)
+        else:
+            xw = window_partition(xn, window_size).reshape(-1, window_size * window_size, c)
+            attn = attn_mod(xw, mask=mask, deterministic=deterministic)
+            xn = window_reverse(attn.reshape(-1, window_size, window_size, c), window_size, h, w)
         if shift_size > 0:
             xn = jnp.roll(xn, (shift_size, shift_size), axis=(1, 2))
         x = shortcut + xn
@@ -194,6 +198,7 @@ class BasicLayer(nn.Module):
     depth: int = 2
     mlp_ratio: float = 2.
     patch_norm: bool = False
+    fused_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -204,7 +209,8 @@ class BasicLayer(nn.Module):
         for i in range(self.depth):
             h = SwinBlockGN(self.embed_dim, self.num_heads, self.window_size,
                             shift_size=0 if i % 2 == 0 else self.window_size // 2,
-                            mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                            mlp_ratio=self.mlp_ratio, fused_attn=self.fused_attn,
+                            dtype=self.dtype,
                             name=f'blocks_{i}')(h, deterministic)
         h = nn.Conv(self.in_chans, (1, 1), dtype=self.dtype, name='patch_unembed_proj')(h)
         if self.patch_norm:
@@ -237,6 +243,7 @@ class UNetModelSwin(nn.Module):
     cond_mask: bool = False
     lq_size: int = 256
     lq_channels: Optional[int] = None  # used by model init plumbing only
+    fused_attn: bool = False
     dtype: Any = None
 
     def _swin_heads(self):
@@ -281,7 +288,8 @@ class UNetModelSwin(nn.Module):
         def swin(name, ch):
             return BasicLayer(ch, self.swin_embed_dim, self._swin_heads(),
                               self.window_size, self.swin_depth, self.mlp_ratio,
-                              self.patch_norm, dtype=self.dtype, name=name)
+                              self.patch_norm, fused_attn=self.fused_attn,
+                              dtype=self.dtype, name=name)
 
         ch = input_ch = int(self.channel_mult[0] * self.model_channels)
         h = nn.Conv(ch, (3, 3), dtype=self.dtype, name='input_blocks_0_0')(x)

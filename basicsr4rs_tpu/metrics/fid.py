@@ -65,7 +65,7 @@ def calculate_fid(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     assert mu1.shape == mu2.shape, 'Two mean vectors have different lengths'
     assert sigma1.shape == sigma2.shape, 'Two covariances have different dimensions'
 
-    cov_sqrt, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    cov_sqrt = linalg.sqrtm(sigma1 @ sigma2)
     if not np.isfinite(cov_sqrt).all():
         print(f'Product of cov matrices is singular. Adding {eps} to diagonal of cov estimates')
         offset = np.eye(sigma1.shape[0]) * eps

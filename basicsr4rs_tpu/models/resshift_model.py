@@ -133,14 +133,26 @@ class ResShiftModel(SRRSModel):
         self.log_dict = self.reduce_loss_dict(losses)
 
     # ------------------------------------------------------------------ test
+    def _sampling_net(self):
+        """Sampling is pure inference: on TPU, route Swin UNets through the
+        Pallas fused window-attention kernel (same params)."""
+        if (jax.default_backend() == 'tpu'
+                and getattr(self.net_g, 'fused_attn', None) is False
+                and self.opt['network_g'].get('fused_attn') is not False):
+            import dataclasses
+            return dataclasses.replace(self.net_g, fused_attn=True)
+        return self.net_g
+
     def test(self):
         """Full reverse diffusion sampling (reference :175-210)."""
         params = self._test_params()
         lq = self.batch['lq']
         key = (lq.shape, 'sample')
         if key not in self._eval_fns:
+            net = self._sampling_net()
+
             def sample(params, lq, rng):
-                model = lambda x, t, **kw: self.net_g.apply(  # noqa: E731
+                model = lambda x, t, **kw: net.apply(  # noqa: E731
                     {'params': params}, x, t,
                     **({'lq': lq} if self.opt['network_g'].get('cond_lq', True) else {}))
                 return self.base_diffusion.p_sample_loop(rng, lq, model,
