@@ -164,6 +164,16 @@ def train_pipeline(root_path):
     data_timer, iter_timer = AvgTimer(), AvgTimer()
     start_time = time.time()
 
+    # On-demand device profiling (TPU observability; the reference has only
+    # host AvgTimers): logger.profile: {start_iter: N, num_iters: M, dir: ...}
+    # captures an xprof trace of M steps beginning at iter N.
+    profile_opt = (opt.get('logger') or {}).get('profile') or {}
+    profile_start = int(profile_opt.get('start_iter', 0) or 0)
+    profile_iters = int(profile_opt.get('num_iters', 5) or 5)
+    profile_dir = profile_opt.get('dir') or osp.join(
+        opt['path'].get('experiments_root', '.'), 'profile')
+    profile_active = False
+
     epoch = start_epoch
     while current_iter <= total_iters:
         train_sampler.set_epoch(epoch)
@@ -176,9 +186,19 @@ def train_pipeline(root_path):
             current_iter += 1
             if current_iter > total_iters:
                 break
+            if profile_start and current_iter == profile_start:
+                import jax
+                jax.profiler.start_trace(profile_dir)
+                profile_active = True
+                logger.info(f'xprof trace started -> {profile_dir}')
             model.update_learning_rate(current_iter, warmup_iter=opt['train'].get('warmup_iter', -1))
             model.feed_data(train_data)
             model.optimize_parameters(current_iter)
+            if profile_active and current_iter >= profile_start + profile_iters - 1:
+                import jax
+                jax.profiler.stop_trace()
+                profile_active = False
+                logger.info(f'xprof trace saved to {profile_dir}')
             iter_timer.record()
             if current_iter == 1:
                 # reset start time in msg_logger for more accurate eta_time

@@ -52,6 +52,10 @@ def yaml_load(f: str) -> Dict[str, Any]:
     if os.path.isfile(f):
         with open(f, 'r') as fh:
             return yaml.load(fh, Loader=ordered_yaml()[0])
+    if f.endswith(('.yml', '.yaml')) and '\n' not in f:
+        # looks like a path, not inline YAML — fail loudly instead of
+        # "parsing" the filename into a bare string
+        raise FileNotFoundError(f'option file not found: {f}')
     return yaml.load(f, Loader=ordered_yaml()[0])
 
 
@@ -191,10 +195,11 @@ def parse_options(root_path: str,
         opt['path']['log'] = experiments_root
         opt['path']['visualization'] = osp.join(experiments_root, 'visualization')
         if 'debug' in opt['name']:
-            if 'val' in opt:
+            if opt.get('val'):
                 opt['val']['val_freq'] = 8
-            opt['logger']['print_freq'] = 1
-            opt['logger']['save_checkpoint_freq'] = 8
+            if opt.get('logger'):
+                opt['logger']['print_freq'] = 1
+                opt['logger']['save_checkpoint_freq'] = 8
     else:
         results_root = opt['path'].get('results_root') or osp.join(root_path, 'results')
         results_root = osp.join(results_root, opt['name'])
