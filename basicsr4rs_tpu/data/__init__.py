@@ -47,6 +47,9 @@ def build_dataloader(dataset, dataset_opt, num_gpu: int = 1, dist: bool = False,
     if phase == 'train':
         batch_size = dataset_opt['batch_size_per_gpu'] * max(num_gpu, 1)
         num_workers = dataset_opt.get('num_worker_per_gpu', 0) * max(num_gpu, 1)
+        if dataset_opt.get('use_grain'):
+            return _build_grain_loader(dataset, batch_size, num_workers,
+                                       seed=seed if seed is not None else 0)
         loader = DataLoader(dataset, batch_size=batch_size, sampler=sampler,
                             shuffle=sampler is None and dataset_opt.get('use_shuffle', True),
                             num_workers=num_workers, drop_last=True, seed=seed)
@@ -55,3 +58,54 @@ def build_dataloader(dataset, dataset_opt, num_gpu: int = 1, dist: bool = False,
     else:
         raise ValueError(f"Wrong dataset phase: {phase}. Supported ones are 'train', 'val' and 'test'.")
     return loader
+
+
+class _GrainLoaderWrapper:
+    """Adapts a grain DataLoader to the framework loader contract
+    (iterable of collated dict batches + ``set_epoch``). Grain reshuffles
+    per epoch internally (epoch-seeded), so ``set_epoch`` is a no-op."""
+
+    def __init__(self, grain_loader, dataset):
+        self._loader = grain_loader
+        self.dataset = dataset
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        return iter(self._loader)
+
+
+def _build_grain_loader(dataset, batch_size: int, num_workers: int, seed: int = 0):
+    """Multiprocess input pipeline on Google Grain (TPU-native alternative to
+    the threaded loader: worker processes decode/augment, the main process
+    only collates — keeps the host step time off the critical path).
+
+    Enable per-dataset with ``use_grain: true``.
+    """
+    import grain.python as gp
+
+    from .loader import default_collate
+
+    class _Source:
+        def __len__(self):
+            return len(dataset)
+
+        def __getitem__(self, idx):
+            return dataset[int(idx)]
+
+    sampler = gp.IndexSampler(
+        num_records=len(dataset),
+        shard_options=gp.NoSharding(),
+        shuffle=True,
+        num_epochs=None,  # infinite: iteration-based training never restarts
+        seed=seed,
+    )
+    loader = gp.DataLoader(
+        data_source=_Source(),
+        sampler=sampler,
+        operations=[gp.Batch(batch_size=batch_size, drop_remainder=True,
+                             batch_fn=lambda items: default_collate(list(items)))],
+        worker_count=num_workers,
+    )
+    return _GrainLoaderWrapper(loader, dataset)
