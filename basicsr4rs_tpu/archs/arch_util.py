@@ -191,28 +191,34 @@ def flow_warp(x: jnp.ndarray,
             out = out * valid[..., None].astype(x.dtype)
         return out
 
-    # Bilinear gather: 4 corners with zero (or border) padding.
+    # Bilinear sampling as ONE 2x2-patch gather per map (TPU gather cost is
+    # per-index, so fetching the whole patch is ~4x cheaper than 4 corner
+    # gathers — same trick as ops/dcn.py). A 1px pad ring provides the
+    # zero/replicate border semantics exactly.
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     wx = (sx - x0).astype(x.dtype)[..., None]
     wy = (sy - y0).astype(x.dtype)[..., None]
 
-    def gather(ix, iy):
-        inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
-        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-        vals = x[jnp.arange(n)[:, None, None], iyc, ixc]
-        if padding_mode == 'zeros':
-            vals = vals * inb[..., None].astype(x.dtype)
-        return vals
+    pad_mode = 'edge' if padding_mode == 'border' else 'constant'
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=pad_mode)
+    sy0 = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
+    sx0 = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
+    batch = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None, None], (n, h, w))
+    starts = jnp.stack([batch, sy0, sx0], axis=-1).reshape(n * h * w, 3)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,), start_index_map=(0, 1, 2))
+    patch = jax.lax.gather(xp, starts, dnums, slice_sizes=(1, 2, 2, c),
+                           mode=jax.lax.GatherScatterMode.CLIP)
+    patch = patch.reshape(n, h, w, 2, 2, c)
 
-    v00 = gather(x0, y0)
-    v01 = gather(x0 + 1, y0)
-    v10 = gather(x0, y0 + 1)
-    v11 = gather(x0 + 1, y0 + 1)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    top = patch[..., 0, 0, :] * (1 - wx) + patch[..., 0, 1, :] * wx
+    bot = patch[..., 1, 0, :] * (1 - wx) + patch[..., 1, 1, :] * wx
+    out = top * (1 - wy) + bot * wy
+    if padding_mode == 'zeros':
+        inside = ((sy > -1) & (sy < h) & (sx > -1) & (sx < w))[..., None]
+        out = out * inside.astype(x.dtype)
+    return out
 
 
 def resize_flow(flow: jnp.ndarray,
