@@ -93,28 +93,36 @@ def _attention_kernel(qkv_ref, bias_ref, out_ref, *, ws: int, num_heads: int,
 def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray, window_size: int,
                            num_heads: int, scale: float,
                            interpret: bool = False) -> jnp.ndarray:
-    """Pallas-fused windowed MHA; falls back to the XLA reference off-TPU."""
+    """Pallas-fused windowed MHA; falls back to the XLA reference off-TPU.
+
+    Differentiable: a custom VJP recomputes the attention probabilities in a
+    backward kernel (flash-style — nothing but qkv is saved) and emits
+    gradients for both ``qkv`` and ``bias`` (the relative-position table
+    trains through the bias gather outside)."""
     if not interpret and jax.default_backend() not in ('tpu',):
         return reference_window_attention(qkv, bias, window_size, num_heads, scale)
+    return _fused_fwd_vjp(window_size, num_heads, scale, interpret, qkv,
+                          bias.astype(jnp.float32))
 
+
+def _bias_spec_and_flag(bias_shape, num_heads, n, nw):
+    from jax.experimental import pallas as pl
+    broadcast = bias_shape[0] == 1
+    if broadcast:
+        return pl.BlockSpec((1, num_heads, n, n), lambda bi, j: (0, 0, 0, 0)), True
+    return pl.BlockSpec((nw, num_heads, n, n), lambda bi, j: (j, 0, 0, 0)), False
+
+
+def _fused_forward(window_size, num_heads, scale, interpret, qkv, bias):
     from jax.experimental import pallas as pl
 
     b, h, w, c3 = qkv.shape
     c = c3 // 3
     ws, n = window_size, window_size * window_size
     nw = w // ws
-    broadcast_bias = bias.shape[0] == 1
-    bias = bias.astype(jnp.float32)
-
+    bias_spec, broadcast_bias = _bias_spec_and_flag(bias.shape, num_heads, n, nw)
     kernel = functools.partial(_attention_kernel, ws=ws, num_heads=num_heads,
                                c=c, scale=scale, broadcast_bias=broadcast_bias)
-
-    if broadcast_bias:
-        bias_spec = pl.BlockSpec((1, num_heads, n, n), lambda bi, j: (0, 0, 0, 0))
-    else:
-        # one row of windows per grid step: rows of the (nW, heads, n, n) mask
-        bias_spec = pl.BlockSpec((nw, num_heads, n, n), lambda bi, j: (j, 0, 0, 0))
-
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), qkv.dtype),
@@ -126,3 +134,115 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray, window_size: int
         out_specs=pl.BlockSpec((1, ws, w, c), lambda bi, j: (bi, j, 0, 0)),
         interpret=interpret,
     )(qkv, bias)
+
+
+def _attention_bwd_kernel(qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref, *,
+                          ws: int, num_heads: int, c: int, scale: float,
+                          broadcast_bias: bool):
+    """Recompute P per window, then the standard softmax-attention VJP:
+    dV = P^T dO; dP = dO V^T; dS = P * (dP - rowsum(dP*P));
+    dQ = scale * dS K; dK = scale * dS^T Q; dbias = sum_windows dS."""
+    from jax.experimental import pallas as pl
+
+    strip = qkv_ref[0]                    # (ws, W, 3C)
+    dout = dout_ref[0]                    # (ws, W, C)
+    width = strip.shape[1]
+    nw = width // ws
+    n = ws * ws
+    hd = c // num_heads
+
+    xw = strip.reshape(ws, nw, ws, 3 * c).transpose(1, 0, 2, 3).reshape(nw, n, 3 * c)
+    dow = dout.reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(nw, n, c)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    # dbias blocks are revisited across the sequential grid; zero on first visit
+    if broadcast_bias:
+        first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    else:
+        first = pl.program_id(0) == 0  # block j first seen at batch 0
+
+    @pl.when(first)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for head in range(num_heads):
+        q = xw[:, :, head * hd:(head + 1) * hd].astype(jnp.float32)
+        k = xw[:, :, c + head * hd:c + (head + 1) * hd].astype(jnp.float32)
+        v = xw[:, :, 2 * c + head * hd:2 * c + (head + 1) * hd].astype(jnp.float32)
+        do = dow[:, :, head * hd:(head + 1) * hd].astype(jnp.float32)
+
+        s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if broadcast_bias:
+            s = s + bias_ref[0, head]
+        else:
+            s = s + bias_ref[:, head]
+        p = jax.nn.softmax(s, axis=-1)                                  # (nw, n, n)
+
+        dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)    # (nw, n, hd)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)    # (nw, n, n)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = scale * jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)
+        dk = scale * jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)
+        dq_parts.append(dq)
+        dk_parts.append(dk)
+        dv_parts.append(dv)
+        if broadcast_bias:
+            dbias_ref[0, head] += jnp.sum(ds, axis=0)
+        else:
+            dbias_ref[:, head] += ds
+
+    dxw = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)      # (nw, n, 3C)
+    dstrip = dxw.reshape(nw, ws, ws, 3 * c).transpose(1, 0, 2, 3).reshape(ws, width, 3 * c)
+    dqkv_ref[0] = dstrip.astype(dqkv_ref.dtype)
+
+
+def _fused_bwd(window_size, num_heads, scale, interpret, qkv, bias, dout):
+    from jax.experimental import pallas as pl
+
+    b, h, w, c3 = qkv.shape
+    c = c3 // 3
+    ws, n = window_size, window_size * window_size
+    nw = w // ws
+    bias_spec, broadcast_bias = _bias_spec_and_flag(bias.shape, num_heads, n, nw)
+    kernel = functools.partial(_attention_bwd_kernel, ws=ws, num_heads=num_heads,
+                               c=c, scale=scale, broadcast_bias=broadcast_bias)
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+                   jax.ShapeDtypeStruct(bias.shape, jnp.float32)),
+        grid=(b, h // ws),
+        in_specs=[
+            pl.BlockSpec((1, ws, w, c3), lambda bi, j: (bi, j, 0, 0)),
+            bias_spec,
+            pl.BlockSpec((1, ws, w, c), lambda bi, j: (bi, j, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, ws, w, c3), lambda bi, j: (bi, j, 0, 0)),
+                   bias_spec),
+        interpret=interpret,
+    )(qkv, bias, dout)
+    return dqkv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_fwd_vjp(window_size, num_heads, scale, interpret, qkv, bias):
+    return _fused_forward(window_size, num_heads, scale, interpret, qkv, bias)
+
+
+def _vjp_fwd(window_size, num_heads, scale, interpret, qkv, bias):
+    out = _fused_forward(window_size, num_heads, scale, interpret, qkv, bias)
+    return out, (qkv, bias)
+
+
+def _vjp_bwd(window_size, num_heads, scale, interpret, res, dout):
+    qkv, bias = res
+    dqkv, dbias = _fused_bwd(window_size, num_heads, scale, interpret,
+                             qkv, bias, dout.astype(qkv.dtype))
+    return dqkv, dbias
+
+
+_fused_fwd_vjp.defvjp(_vjp_fwd, _vjp_bwd)

@@ -56,3 +56,26 @@ def test_reference_matches_module_path():
     from basicsr4rs_tpu.archs.swinir_arch import window_reverse
     want = np.asarray(window_reverse(jnp.asarray(o.reshape(-1, ws, ws, c)), ws, h, w))
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_vjp_matches_reference_grads():
+    """Custom VJP (backward kernel, interpret mode) vs autodiff of the
+    XLA reference — gradients for qkv and bias."""
+    for nwb, seed in ((1, 3), (16, 4)):
+        qkv, bias = _case(nwb=nwb, seed=seed)
+        scale = 0.37
+
+        def loss_fused(qkv, bias):
+            out = fused_window_attention(qkv, bias, 4, 3, scale, interpret=True)
+            return jnp.sum(out * jnp.cos(out))
+
+        def loss_ref(qkv, bias):
+            out = reference_window_attention(qkv, bias, 4, 3, scale)
+            return jnp.sum(out * jnp.cos(out))
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+        g_r = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_r[0]),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_r[1]),
+                                   atol=2e-4, rtol=1e-4)
