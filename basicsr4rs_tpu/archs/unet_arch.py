@@ -36,6 +36,28 @@ def _group_norm(name, ch):
     return nn.GroupNorm(num_groups=min(32, ch), epsilon=1e-5, name=name)
 
 
+@__import__('functools').lru_cache(maxsize=64)
+def _shift_attn_mask_resshift(h: int, w: int, window_size: int, shift_size: int) -> np.ndarray:
+    """Shift mask with the reference resshift quirk
+    (reference archs/resshift/swin_transformer.py:213-236): ``img_mask`` is
+    allocated (1, 1, H, W) but sliced as if NHWC, so the h_slices collapse
+    onto the size-1 channel dim (no-ops) and only the final region-id row
+    (6/7/8) lands — the effective mask varies along H only. Trained
+    checkpoints depend on this exact behavior."""
+    rows = np.zeros((h,), np.float32)
+    rows[0:h - window_size] = 6
+    rows[h - window_size:h - shift_size] = 7
+    rows[h - shift_size:] = 8
+    img = np.broadcast_to(rows[:, None], (h, w)).copy()
+    m = img.reshape(1, h // window_size, window_size, w // window_size, window_size)
+    # second reference quirk: calculate_mask permutes the already-HWC window
+    # once more, flattening tokens in TRANSPOSED (w-major) order relative to
+    # the data windows
+    m = m.transpose(0, 1, 3, 4, 2).reshape(-1, window_size * window_size)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
 class ADMUpsample(nn.Module):
     """Nearest x2 (+ optional conv) (reference unet_arch.py:55-83)."""
     channels: int
@@ -166,7 +188,7 @@ class SwinBlockGN(nn.Module):
         xn = _group_norm('norm1', c)(x)
         if shift_size > 0:
             xn = jnp.roll(xn, (-shift_size, -shift_size), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(h, w, window_size, shift_size))
+            mask = jnp.asarray(_shift_attn_mask_resshift(h, w, window_size, shift_size))
         else:
             mask = None
         attn_mod = WindowAttention(self.dim, (window_size, window_size), self.num_heads,
@@ -182,9 +204,10 @@ class SwinBlockGN(nn.Module):
         x = shortcut + xn
 
         y = _group_norm('norm2', c)(x)
-        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name='mlp_fc1')(y)
+        # 1x1 convs (not Dense) to match the reference's Conv2d MLP layout
+        y = nn.Conv(int(c * self.mlp_ratio), (1, 1), dtype=self.dtype, name='mlp_fc1')(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(c, dtype=self.dtype, name='mlp_fc2')(y)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name='mlp_fc2')(y)
         return x + y
 
 
@@ -221,6 +244,16 @@ class BasicLayer(nn.Module):
 @ARCH_REGISTRY.register()
 class UNetModelSwin(nn.Module):
     """(reference unet_arch.py:611-927)"""
+    TORCH_KEY_RULES = (
+        # GroupNorms store weight/bias; flax GroupNorm names them scale/bias
+        (r'(in_layers\.0|out_layers\.0|norm[12]?|patch_embed\.norm|patch_unembed\.norm|out\.0)\.weight$',
+         r'\1.scale'),
+        (r'patch_embed\.proj\.', 'patch_embed_proj.'),
+        (r'patch_unembed\.proj\.', 'patch_unembed_proj.'),
+        (r'mlp\.fc1\.', 'mlp_fc1.'),
+        (r'mlp\.fc2\.', 'mlp_fc2.'),
+    )
+
     image_size: int
     in_channels: int
     model_channels: int
@@ -353,6 +386,10 @@ class UNetModelSwin(nn.Module):
 @ARCH_REGISTRY.register()
 class UNetModel(nn.Module):
     """Vanilla-attention ADM UNet (reference unet_arch.py:352-610)."""
+    TORCH_KEY_RULES = (
+        (r'(in_layers\.0|out_layers\.0|norm|out\.0)\.weight$', r'\1.scale'),
+    )
+
     image_size: int
     in_channels: int
     model_channels: int

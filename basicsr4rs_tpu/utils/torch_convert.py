@@ -29,6 +29,8 @@ def convert_tensor(key: str, arr: np.ndarray) -> np.ndarray:
             return np.transpose(arr, (2, 3, 4, 1, 0))
         if arr.ndim == 4:   # OIHW -> HWIO
             return np.transpose(arr, (2, 3, 1, 0))
+        if arr.ndim == 3:   # conv1d OIW -> WIO
+            return np.transpose(arr, (2, 1, 0))
         if arr.ndim == 2:   # (out, in) -> (in, out)
             return np.transpose(arr, (1, 0))
     return arr

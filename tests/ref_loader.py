@@ -85,6 +85,42 @@ def _ensure_stubs():
         sys.modules['torchvision.models.vgg'] = vgg_mod
         tv.models = models_mod
 
+    # timm stub: the reference resshift swin transformer needs three tiny
+    # helpers from timm.layers (DropPath / to_2tuple / trunc_normal_).
+    if 'timm' not in sys.modules:
+        import torch as _torch
+        import torch.nn as _tnn
+
+        class _DropPath(_tnn.Module):
+            def __init__(self, drop_prob=0., scale_by_keep=True):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                if self.drop_prob == 0. or not self.training:
+                    return x
+                keep = 1 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = x.new_empty(shape).bernoulli_(keep)
+                return x * mask / keep
+
+        def _to_2tuple(v):
+            return v if isinstance(v, tuple) else (v, v)
+
+        def _trunc_normal_(tensor, mean=0., std=1., a=-2., b=2.):
+            with _torch.no_grad():
+                tensor.normal_(mean, std).clamp_(a * std + mean, b * std + mean)
+            return tensor
+
+        timm_mod = types.ModuleType('timm')
+        layers_mod = types.ModuleType('timm.layers')
+        layers_mod.DropPath = _DropPath
+        layers_mod.to_2tuple = _to_2tuple
+        layers_mod.trunc_normal_ = _trunc_normal_
+        timm_mod.layers = layers_mod
+        sys.modules['timm'] = timm_mod
+        sys.modules['timm.layers'] = layers_mod
+
     class _NoopRegistry:
         def register(self, *a, **k):
             def deco(x):
