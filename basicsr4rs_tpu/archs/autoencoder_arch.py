@@ -244,8 +244,21 @@ def _filter(cls, dd):
     return {k: v for k, v in dd.items() if k in names}
 
 
+# torch checkpoint key rules shared by the taming first-stage autoencoders:
+# ModuleList paths flattened to our per-level names + GroupNorm scale.
+_AE_TORCH_KEY_RULES = (
+    (r'\.(down|up)\.(\d+)\.(block|attn)\.(\d+)\.', r'.\1_\2_\3_\4.'),
+    (r'\.down\.(\d+)\.downsample\.conv\.', r'.down_\1_downsample_conv.'),
+    (r'\.up\.(\d+)\.upsample\.conv\.', r'.up_\1_upsample_conv.'),
+    (r'\.mid\.(block_\d|attn_\d)\.', r'.mid_\1.'),
+    (r'(norm\d?|norm_out)\.weight$', r'\1.scale'),
+    (r'quantize\.embedding\.weight$', 'quantize.embedding'),
+)
+
+
 @ARCH_REGISTRY.register()
 class VQModelTorch(nn.Module):
+    TORCH_KEY_RULES = _AE_TORCH_KEY_RULES
     """VQ first stage (reference autoencoder_arch.py:16-63; name kept for
     config parity — this is the JAX implementation)."""
     ddconfig: dict
@@ -278,6 +291,7 @@ class VQModelTorch(nn.Module):
 
 @ARCH_REGISTRY.register()
 class AutoencoderKLTorch(nn.Module):
+    TORCH_KEY_RULES = _AE_TORCH_KEY_RULES
     """KL first stage (reference autoencoder_arch.py:66-103)."""
     ddconfig: dict
     embed_dim: int

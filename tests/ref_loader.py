@@ -85,6 +85,15 @@ def _ensure_stubs():
         sys.modules['torchvision.models.vgg'] = vgg_mod
         tv.models = models_mod
 
+    # loralib stub: the reference autoencoder only references lora.Conv2d on
+    # an optional LoRA path we never exercise in parity tests.
+    if 'loralib' not in sys.modules:
+        import torch.nn as _lnn
+        lora_mod = types.ModuleType('loralib')
+        lora_mod.Conv2d = _lnn.Conv2d
+        lora_mod.Linear = _lnn.Linear
+        sys.modules['loralib'] = lora_mod
+
     # timm stub: the reference resshift swin transformer needs three tiny
     # helpers from timm.layers (DropPath / to_2tuple / trunc_normal_).
     if 'timm' not in sys.modules:

@@ -38,3 +38,45 @@ def test_unet_model_swin_parity():
     out = np.asarray(out).transpose(0, 3, 1, 2)
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-3)
+
+
+def test_vq_autoencoder_parity():
+    import torch
+    from basicsr4rs_tpu.archs.autoencoder_arch import VQModelTorch
+    ref_mod = load_ref_module('basicsr/archs/autoencoder_arch.py')
+    ddconfig = dict(ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+                    attn_resolutions=[8], in_channels=3, resolution=16,
+                    z_channels=3, double_z=False, dropout=0.0)
+    ref = ref_mod.VQModelTorch(ddconfig=ddconfig, n_embed=32, embed_dim=3).eval()
+    x = np.random.RandomState(0).randn(1, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        z = ref.encode(torch.from_numpy(x)).numpy()
+        rec = ref.decode(torch.from_numpy(z)).numpy()
+    mine = VQModelTorch(ddconfig=ddconfig, n_embed=32, embed_dim=3)
+    params = convert_torch_state_dict(ref.state_dict(), rules=VQModelTorch.TORCH_KEY_RULES)
+    zm = mine.apply({'params': params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                    method=VQModelTorch.encode)
+    recm = mine.apply({'params': params}, zm, method=VQModelTorch.decode)
+    np.testing.assert_allclose(np.asarray(zm).transpose(0, 3, 1, 2), z, atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(recm).transpose(0, 3, 1, 2), rec, atol=5e-5, rtol=1e-4)
+
+
+def test_kl_autoencoder_parity():
+    import torch
+    from basicsr4rs_tpu.archs.autoencoder_arch import AutoencoderKLTorch
+    ref_mod = load_ref_module('basicsr/archs/autoencoder_arch.py')
+    ddconfig = dict(ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+                    attn_resolutions=[8], in_channels=3, resolution=16,
+                    z_channels=3, double_z=True, dropout=0.0)
+    ref = ref_mod.AutoencoderKLTorch(embed_dim=3, ddconfig=ddconfig).eval()
+    x = np.random.RandomState(1).randn(1, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        mode = ref.encode(torch.from_numpy(x), sample_posterior=False).numpy()
+        rec = ref.decode(torch.from_numpy(mode)).numpy()
+    mine = AutoencoderKLTorch(embed_dim=3, ddconfig=ddconfig)
+    params = convert_torch_state_dict(ref.state_dict(), rules=AutoencoderKLTorch.TORCH_KEY_RULES)
+    zm = mine.apply({'params': params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                    method=AutoencoderKLTorch.encode, sample_posterior=False)
+    recm = mine.apply({'params': params}, zm, method=AutoencoderKLTorch.decode)
+    np.testing.assert_allclose(np.asarray(zm).transpose(0, 3, 1, 2), mode, atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(recm).transpose(0, 3, 1, 2), rec, atol=5e-5, rtol=1e-4)
