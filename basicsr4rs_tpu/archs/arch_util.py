@@ -81,20 +81,44 @@ class ChannelAttention(nn.Module):
         return x * jax.nn.sigmoid(y)
 
 
-class CAB(nn.Module):
-    """Channel-attention block: conv-gelu-conv + CA (RS addition,
-    reference arch_util.py:112-122)."""
-    num_feat: int
-    compress_ratio: int = 3
-    squeeze_factor: int = 30
+class CAM(nn.Module):
+    """CBAM-style channel attention over max+avg pooled descriptors (RS
+    addition, reference arch_util.py:91-109). The reference forward
+    references a nonexistent ``self.linear`` — the evident intent (shared
+    MLP on both pooled vectors) is implemented; torch checkpoints map via
+    the real ``linear_max`` parameters."""
+    channels: int
+    r: int = 2
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.num_feat // self.compress_ratio, (3, 3), dtype=self.dtype, name='conv1')(x)
-        y = nn.gelu(y)
-        y = nn.Conv(self.num_feat, (3, 3), dtype=self.dtype, name='conv2')(y)
-        return ChannelAttention(self.num_feat, self.squeeze_factor, dtype=self.dtype, name='ca')(y)
+        mx = jnp.max(x, axis=(1, 2))
+        avg = jnp.mean(x, axis=(1, 2))
+
+        fc1 = nn.Dense(self.channels // self.r, dtype=self.dtype, name='linear_max_0')
+        fc2 = nn.Dense(self.channels, dtype=self.dtype, name='linear_max_2')
+
+        def mlp(v):
+            return fc2(nn.relu(fc1(v)))
+
+        gate = jax.nn.sigmoid(mlp(mx) + mlp(avg))[:, None, None, :]
+        return gate * x
+
+
+class CAB(nn.Module):
+    """Channel-attention block: ResidualBlockNoBN + CAM (RS addition,
+    reference arch_util.py:112-122)."""
+    num_feat: int
+    res_scale: float = 1.
+    r: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = ResidualBlockNoBN(self.num_feat, self.res_scale, dtype=self.dtype,
+                              name='conv_block')(x)
+        return CAM(self.num_feat, self.r, dtype=self.dtype, name='cam')(y)
 
 
 def pixel_shuffle(x: jnp.ndarray, upscale_factor: int) -> jnp.ndarray:

@@ -80,3 +80,48 @@ def test_kl_autoencoder_parity():
     recm = mine.apply({'params': params}, zm, method=AutoencoderKLTorch.decode)
     np.testing.assert_allclose(np.asarray(zm).transpose(0, 3, 1, 2), mode, atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(recm).transpose(0, 3, 1, 2), rec, atol=5e-5, rtol=1e-4)
+
+
+def test_unet_model_conv_free_parity():
+    """Vanilla-attention ADM UNetModel parity."""
+    import torch
+    from basicsr4rs_tpu.archs.unet_arch import UNetModel
+    ref_mod = load_ref_module('basicsr/archs/unet_arch.py')
+    kwargs = dict(image_size=16, in_channels=3, model_channels=32, out_channels=3,
+                  num_res_blocks=1, attention_resolutions=[8], channel_mult=[1, 2],
+                  num_heads=4, cond_lq=False)
+    ref_net = ref_mod.UNetModel(**kwargs).eval()
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+    t = np.array([0, 5], np.int64)
+    with torch.no_grad():
+        want = ref_net(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    mine = UNetModel(**kwargs)
+    params = convert_torch_state_dict(ref_net.state_dict(), rules=UNetModel.TORCH_KEY_RULES)
+    got = mine.apply({'params': params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+def test_alignae_parity():
+    import torch
+    from basicsr4rs_tpu.archs.alignae_arch import AlignAutoencoder
+    ref_mod = load_ref_module('basicsr/archs/alignae_arch.py')
+    kwargs = dict(num_in_ch=12, num_out_ch=6, num_feat=16, num_block=2)
+    ref_net = ref_mod.AlignAutoencoder(**kwargs).eval()
+    # the reference CAM.forward references a nonexistent self.linear (the
+    # module cannot run as shipped); patch in the evident intent — the
+    # shared linear_max MLP — to obtain a runnable ground truth
+    for mod in ref_net.modules():
+        if type(mod).__name__ == 'CAM':
+            object.__setattr__(mod, 'linear', mod.linear_max)
+    x = np.random.RandomState(0).randn(1, 12, 24, 24).astype(np.float32)
+    with torch.no_grad():
+        out = ref_net(torch.from_numpy(x))
+    mine = AlignAutoencoder(**kwargs)
+    params = convert_torch_state_dict(ref_net.state_dict())
+    got = mine.apply({'params': params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for key in ('stage1', 'stage2'):
+        want = out[key].numpy()
+        g = np.asarray(got[key]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(g, want, atol=2e-5, rtol=1e-4)
