@@ -111,6 +111,23 @@ class _ResnetBlockAttn(nn.Module):
 @ARCH_REGISTRY.register()
 class SR3UNet(nn.Module):
     """(reference sr3_arch.py:212-318, class UNet)"""
+    TORCH_KEY_RULES = (
+        (r'\.res_block\.', '.'),
+        (r'(block[12])\.block\.0\.weight$', r'\1.norm.scale'),
+        (r'(block[12])\.block\.0\.bias$', r'\1.norm.bias'),
+        (r'(block[12])\.block\.3\.', r'\1.conv.'),
+        (r'final_conv\.block\.0\.weight$', 'final_conv.norm.scale'),
+        (r'final_conv\.block\.0\.bias$', 'final_conv.norm.bias'),
+        (r'final_conv\.block\.3\.', 'final_conv.conv.'),
+        (r'noise_func\.noise_func\.0\.', 'noise_func.'),
+        (r'\.attn\.norm\.weight$', '.attn_norm.scale'),
+        (r'\.attn\.norm\.bias$', '.attn_norm.bias'),
+        (r'\.attn\.qkv\.', '.attn_qkv.'),
+        (r'\.attn\.out\.', '.attn_out.'),
+        (r'(downs|ups)\.(\d+)\.conv\.', r'\1.\2.'),
+        (r'noise_level_mlp\.', 'noise_mlp_'),
+    )
+
     in_channel: int = 6
     out_channel: int = 3
     inner_channel: int = 32

@@ -125,3 +125,23 @@ def test_alignae_parity():
         want = out[key].numpy()
         g = np.asarray(got[key]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(g, want, atol=2e-5, rtol=1e-4)
+
+
+def test_sr3_unet_parity():
+    import torch
+    from basicsr4rs_tpu.archs.sr3_arch import SR3UNet
+    ref_mod = load_ref_module('basicsr/archs/sr3_arch.py')
+    kwargs = dict(in_channel=6, out_channel=3, inner_channel=16, norm_groups=8,
+                  channel_mults=(1, 2), attn_res=(8,), res_blocks=1, image_size=16)
+    ref_net = ref_mod.UNet(**kwargs).eval()
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 6, 16, 16).astype(np.float32)
+    t = rng.rand(1).astype(np.float32) * 0.5 + 0.2   # continuous noise level
+    with torch.no_grad():
+        want = ref_net(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    mine = SR3UNet(**{**kwargs, 'channel_mults': (1, 2), 'attn_res': (8,)})
+    params = convert_torch_state_dict(ref_net.state_dict(),
+                                      rules=getattr(SR3UNet, 'TORCH_KEY_RULES', None))
+    got = mine.apply({'params': params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
