@@ -31,7 +31,8 @@ class PerceptualLoss:
                  perceptual_weight: float = 1.0,
                  style_weight: float = 0.,
                  criterion: str = 'l1',
-                 pretrain_path: Optional[str] = None):
+                 pretrain_path: Optional[str] = None,
+                 vgg_params=None):
         self.layer_weights = layer_weights
         self.perceptual_weight = perceptual_weight
         self.style_weight = style_weight
@@ -39,7 +40,8 @@ class PerceptualLoss:
         self.vgg = VGGFeatureExtractor(
             layer_name_list=tuple(layer_weights.keys()), vgg_type=vgg_type,
             use_input_norm=use_input_norm, range_norm=range_norm)
-        self.vgg_params = load_vgg_params(self.vgg, pretrain_path=pretrain_path)
+        self.vgg_params = (vgg_params if vgg_params is not None
+                           else load_vgg_params(self.vgg, pretrain_path=pretrain_path))
 
     def _crit(self, a, b):
         if self.criterion_type == 'l1':

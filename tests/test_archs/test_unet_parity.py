@@ -145,3 +145,44 @@ def test_sr3_unet_parity():
     got = mine.apply({'params': params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+def test_vgg_feature_extractor_and_perceptual_loss_parity():
+    import torch
+    from basicsr4rs_tpu.archs.vgg_arch import VGGFeatureExtractor
+    from basicsr4rs_tpu.losses.perceptual_loss import PerceptualLoss
+    ref_vgg_mod = load_ref_module('basicsr/archs/vgg_arch.py')
+    layers = ['conv1_2', 'relu2_2', 'conv3_3']
+    ref_ext = ref_vgg_mod.VGGFeatureExtractor(layer_name_list=layers, vgg_type='vgg16',
+                                              use_input_norm=True, range_norm=False).eval()
+    x = np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = {k: v.numpy() for k, v in ref_ext(torch.from_numpy(x)).items()}
+
+    params = convert_torch_state_dict(ref_ext.state_dict(),
+                                      rules=((r'^vgg_net\.', ''),))
+    mine = VGGFeatureExtractor(layer_name_list=layers, vgg_type='vgg16',
+                               use_input_norm=True, range_norm=False)
+    got = mine.apply({'params': params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for k in layers:
+        np.testing.assert_allclose(np.asarray(got[k]).transpose(0, 3, 1, 2), want[k],
+                                   atol=1e-4, rtol=1e-4)
+
+    # perceptual + style loss on the same features
+    ref_loss_mod = load_ref_module('basicsr/losses/basic_loss.py')
+    ref_loss = ref_loss_mod.PerceptualLoss(
+        layer_weights={k: 1.0 for k in layers}, vgg_type='vgg16',
+        use_input_norm=True, range_norm=False, perceptual_weight=1.0,
+        style_weight=0.5, criterion='l1').eval()
+    ref_loss.vgg.load_state_dict(ref_ext.state_dict())
+    y = np.random.RandomState(1).rand(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        lp_t, ls_t = ref_loss(torch.from_numpy(x), torch.from_numpy(y))
+
+    my_loss = PerceptualLoss(layer_weights={k: 1.0 for k in layers}, vgg_type='vgg16',
+                             use_input_norm=True, range_norm=False,
+                             perceptual_weight=1.0, style_weight=0.5, criterion='l1',
+                             vgg_params=params)
+    lp, ls = my_loss(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(float(lp), float(lp_t), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(ls), float(ls_t), rtol=1e-4, atol=1e-6)
