@@ -88,3 +88,21 @@ def test_hifacegan_discriminator_parity():
         for t_mine, t_ref in zip(scale_mine, scale_ref):
             got = np.asarray(t_mine).transpose(0, 3, 1, 2)
             np.testing.assert_allclose(got, t_ref.numpy(), atol=2e-3, rtol=1e-2)
+
+
+def test_unet_discriminator_sn_parity():
+    """Real-ESRGAN U-Net discriminator (spectral norm) vs torch."""
+    import torch
+    from basicsr4rs_tpu.archs.discriminator_arch import UNetDiscriminatorSN
+    ref_mod = load_ref_module('basicsr/archs/discriminator_arch.py')
+    ref_net = ref_mod.UNetDiscriminatorSN(num_in_ch=3, num_feat=8, skip_connection=True)
+    x_t = torch.from_numpy(np.random.RandomState(0).rand(1, 3, 64, 64).astype(np.float32))
+    _converge_sn(ref_net, x_t)
+    with torch.no_grad():
+        want = ref_net(x_t).numpy()
+    mine = UNetDiscriminatorSN(num_in_ch=3, num_feat=8, skip_connection=True)
+    params = convert_torch_state_dict(ref_net.state_dict(),
+                                      rules=getattr(UNetDiscriminatorSN, 'TORCH_KEY_RULES', None))
+    got = mine.apply({'params': params}, jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-2)
