@@ -160,7 +160,9 @@ class BaseModel:
 
     # --------------------------------------------------------------- utils
     def get_current_log(self):
-        return self.log_dict
+        from collections import OrderedDict as _OD
+        return _OD((k, float(v) if hasattr(v, 'dtype') else v)
+                   for k, v in self.log_dict.items())
 
     def model_to_device(self, net):
         """No-op on TPU: placement is carried by shardings. Kept for parity
@@ -265,8 +267,11 @@ class BaseModel:
     def reduce_loss_dict(self, loss_dict: Dict[str, jnp.ndarray]) -> OrderedDict:
         """The reference dist-reduces a torch loss dict (base_model.py:376-401).
         Here the jitted step already returns globally-reduced scalars (XLA
-        psum over the data axis), so this just converts to python floats."""
-        return OrderedDict((k, float(v)) for k, v in loss_dict.items())
+        psum over the data axis). Values stay as DEVICE arrays — converting
+        per step would force a device->host sync on the critical path and
+        break async dispatch; ``get_current_log`` floats them lazily at
+        print/validation time."""
+        return OrderedDict(loss_dict)
 
 
 def _match_tree(tree, template, strict: bool = True):
