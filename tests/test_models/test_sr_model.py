@@ -154,3 +154,48 @@ def test_srmodel_validation(tmp_path, paired_data_dir):
     # saved visualization images exist
     vis = os.path.join(opt['path']['visualization'], 'a', 'a_1.png')
     assert os.path.isfile(vis)
+
+
+def test_sr_model_bf16_compute_policy():
+    """network_g.dtype: bfloat16 = the TPU AMP analog; params stay f32,
+    training remains finite and updates apply."""
+    import numpy as np
+    import jax.numpy as jnp
+    from basicsr4rs_tpu.models import build_model
+    from basicsr4rs_tpu.utils.options import yaml_load
+    opt = yaml_load("""
+name: test_bf16
+model_type: SRModel
+scale: 4
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+network_g: {type: MSRResNet, num_in_ch: 3, num_out_ch: 3, num_feat: 8, num_block: 1,
+            upscale: 4, dtype: bfloat16}
+path: {pretrain_network_g: ~}
+train:
+  ema_decay: 0.999
+  optim_g: {type: Adam, lr: !!float 1e-3}
+  scheduler: {type: ConstantLR}
+  total_iter: 10
+  pixel_opt: {type: L1Loss, loss_weight: 1.0}
+val: ~
+""")
+    model = build_model(opt)
+    leaf = model.state.params['conv_first']['kernel']
+    assert leaf.dtype == jnp.float32  # master weights stay f32
+    rng = np.random.RandomState(0)
+    batch = {'lq': rng.rand(2, 8, 8, 3).astype(np.float32),
+             'gt': rng.rand(2, 32, 32, 3).astype(np.float32)}
+    model.feed_data(batch)
+    losses = []
+    for it in range(1, 6):
+        model.optimize_parameters(it)
+        losses.append(model.get_current_log()['l_pix'])
+    assert all(np.isfinite(v) for v in losses)
+    assert losses[-1] < losses[0]
+    model.test()
+    assert model.output.shape == (2, 32, 32, 3)
