@@ -14,6 +14,7 @@ from basicsr4rs_tpu.utils.torch_convert import convert_torch_state_dict  # noqa:
 
 def _fake_dict(tmp_path):
     import torch
+    torch.manual_seed(0)
     g = torch.Generator().manual_seed(0)
     sizes = {256: (128, 9), 128: (256, 7), 64: (512, 5), 32: (512, 3)}
     parts = ['left_eye', 'right_eye', 'nose', 'mouth']
@@ -27,6 +28,7 @@ def _fake_dict(tmp_path):
 
 def test_dfdnet_parity(tmp_path):
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.dfdnet_arch import DFDNet, load_dfdnet_dict
     ref_mod = load_ref_module('basicsr/archs/dfdnet_arch.py')
     dict_path = _fake_dict(tmp_path)

@@ -22,6 +22,7 @@ from basicsr4rs_tpu.utils.torch_convert import convert_torch_state_dict  # noqa:
 
 def _converge_sn(ref_net, x, n=80):
     import torch
+    torch.manual_seed(0)
     ref_net.train()
     with torch.no_grad():
         for _ in range(n):
@@ -32,6 +33,7 @@ def _converge_sn(ref_net, x, n=80):
 def test_spade_generator_parity_no_sn():
     """Non-spectral config is exact (reference hifacegan_arch.py:10-95)."""
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.hifacegan_arch import SPADEGenerator
     ref_mod = load_ref_module('basicsr/archs/hifacegan_arch.py')
     kwargs = dict(num_in_ch=3, num_feat=4, crop_size=64, norm_g='spadeinstance3x3')
@@ -51,6 +53,7 @@ def test_spade_generator_parity_no_sn():
 def test_hifacegan_parity_sn():
     """Full HiFaceGAN (LIP encoder + spectral SPADE blocks)."""
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.hifacegan_arch import HiFaceGAN
     ref_mod = load_ref_module('basicsr/archs/hifacegan_arch.py')
     kwargs = dict(num_in_ch=3, num_feat=4, crop_size=64)
@@ -70,6 +73,7 @@ def test_hifacegan_parity_sn():
 
 def test_hifacegan_discriminator_parity():
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.hifacegan_arch import HiFaceGANDiscriminator
     ref_mod = load_ref_module('basicsr/archs/hifacegan_arch.py')
     kwargs = dict(num_in_ch=3, num_out_ch=3, num_d=2, n_layers_d=4, num_feat=8)
@@ -93,6 +97,7 @@ def test_hifacegan_discriminator_parity():
 def test_unet_discriminator_sn_parity():
     """Real-ESRGAN U-Net discriminator (spectral norm) vs torch."""
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.discriminator_arch import UNetDiscriminatorSN
     ref_mod = load_ref_module('basicsr/archs/discriminator_arch.py')
     ref_net = ref_mod.UNetDiscriminatorSN(num_in_ch=3, num_feat=8, skip_connection=True)

@@ -15,6 +15,7 @@ from basicsr4rs_tpu.utils.torch_convert import convert_torch_state_dict  # noqa:
 
 def test_stylegan2_bilinear_generator_parity():
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.stylegan2_bilinear_arch import StyleGAN2GeneratorBilinear
     ref_mod = load_ref_module('basicsr/archs/stylegan2_bilinear_arch.py')
     kwargs = dict(out_size=32, num_style_feat=16, num_mlp=2, channel_multiplier=1, narrow=0.25)

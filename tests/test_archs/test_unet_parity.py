@@ -15,6 +15,7 @@ from basicsr4rs_tpu.utils.torch_convert import convert_torch_state_dict  # noqa:
 
 def test_unet_model_swin_parity():
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.unet_arch import UNetModelSwin
     ref_mod = load_ref_module('basicsr/archs/unet_arch.py')
     kwargs = dict(image_size=16, in_channels=3, model_channels=32, out_channels=3,
@@ -42,6 +43,7 @@ def test_unet_model_swin_parity():
 
 def test_vq_autoencoder_parity():
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.autoencoder_arch import VQModelTorch
     ref_mod = load_ref_module('basicsr/archs/autoencoder_arch.py')
     ddconfig = dict(ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
@@ -63,6 +65,7 @@ def test_vq_autoencoder_parity():
 
 def test_kl_autoencoder_parity():
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.autoencoder_arch import AutoencoderKLTorch
     ref_mod = load_ref_module('basicsr/archs/autoencoder_arch.py')
     ddconfig = dict(ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
@@ -85,6 +88,7 @@ def test_kl_autoencoder_parity():
 def test_unet_model_conv_free_parity():
     """Vanilla-attention ADM UNetModel parity."""
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.unet_arch import UNetModel
     ref_mod = load_ref_module('basicsr/archs/unet_arch.py')
     kwargs = dict(image_size=16, in_channels=3, model_channels=32, out_channels=3,
@@ -105,6 +109,7 @@ def test_unet_model_conv_free_parity():
 
 def test_alignae_parity():
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.alignae_arch import AlignAutoencoder
     ref_mod = load_ref_module('basicsr/archs/alignae_arch.py')
     kwargs = dict(num_in_ch=12, num_out_ch=6, num_feat=16, num_block=2)
@@ -129,6 +134,7 @@ def test_alignae_parity():
 
 def test_sr3_unet_parity():
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.sr3_arch import SR3UNet
     ref_mod = load_ref_module('basicsr/archs/sr3_arch.py')
     kwargs = dict(in_channel=6, out_channel=3, inner_channel=16, norm_groups=8,
@@ -149,6 +155,7 @@ def test_sr3_unet_parity():
 
 def test_vgg_feature_extractor_and_perceptual_loss_parity():
     import torch
+    torch.manual_seed(0)
     from basicsr4rs_tpu.archs.vgg_arch import VGGFeatureExtractor
     from basicsr4rs_tpu.losses.perceptual_loss import PerceptualLoss
     ref_vgg_mod = load_ref_module('basicsr/archs/vgg_arch.py')
