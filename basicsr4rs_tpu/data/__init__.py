@@ -62,15 +62,21 @@ def build_dataloader(dataset, dataset_opt, num_gpu: int = 1, dist: bool = False,
 
 class _GrainLoaderWrapper:
     """Adapts a grain DataLoader to the framework loader contract
-    (iterable of collated dict batches + ``set_epoch``). Grain reshuffles
-    per epoch internally (epoch-seeded), so ``set_epoch`` is a no-op."""
+    (iterable of collated dict batches + ``set_epoch`` + ``len``). Grain
+    reshuffles per epoch internally (epoch-seeded), so ``set_epoch`` is a
+    no-op; ``len`` reports batches per epoch for the iteration bookkeeping
+    even though the underlying sampler is infinite."""
 
-    def __init__(self, grain_loader, dataset):
+    def __init__(self, grain_loader, dataset, batch_size):
         self._loader = grain_loader
         self.dataset = dataset
+        self._batch_size = batch_size
 
     def set_epoch(self, epoch):
         pass
+
+    def __len__(self):
+        return max(len(self.dataset) // self._batch_size, 1)
 
     def __iter__(self):
         return iter(self._loader)
@@ -108,4 +114,4 @@ def _build_grain_loader(dataset, batch_size: int, num_workers: int, seed: int = 
                              batch_fn=lambda items: default_collate(list(items)))],
         worker_count=num_workers,
     )
-    return _GrainLoaderWrapper(loader, dataset)
+    return _GrainLoaderWrapper(loader, dataset, batch_size)
