@@ -105,11 +105,16 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray, window_size: int
                           bias.astype(jnp.float32))
 
 
-def _bias_spec_and_flag(bias_shape, num_heads, n, nw):
+def _bias_spec_and_flag(bias_shape, num_heads, n, nw, batch_minor=False):
+    """Bias BlockSpec for a (batch, window-rows) grid — or its transpose
+    (window-rows, batch) when ``batch_minor`` (the backward kernel's grid,
+    which needs the dbias reduction axis innermost)."""
     from jax.experimental import pallas as pl
     broadcast = bias_shape[0] == 1
     if broadcast:
-        return pl.BlockSpec((1, num_heads, n, n), lambda bi, j: (0, 0, 0, 0)), True
+        return pl.BlockSpec((1, num_heads, n, n), lambda *_: (0, 0, 0, 0)), True
+    if batch_minor:
+        return pl.BlockSpec((nw, num_heads, n, n), lambda j, bi: (j, 0, 0, 0)), False
     return pl.BlockSpec((nw, num_heads, n, n), lambda bi, j: (j, 0, 0, 0)), False
 
 
@@ -155,11 +160,16 @@ def _attention_bwd_kernel(qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref, *,
     dow = dout.reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(nw, n, c)
 
     dq_parts, dk_parts, dv_parts = [], [], []
-    # dbias blocks are revisited across the sequential grid; zero on first visit
+    # dbias blocks are accumulated across grid revisits. The bwd grid is
+    # (window-rows, batch) with batch MINORMOST: Pallas TPU only keeps an
+    # output block resident across *consecutive* iterations, so the reduction
+    # axis (batch; plus window-rows for broadcast bias) must be innermost —
+    # with the batch axis outer, a per-window-row dbias block would be
+    # flushed and revisited stale. Zero the block on its first visit.
     if broadcast_bias:
         first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     else:
-        first = pl.program_id(0) == 0  # block j first seen at batch 0
+        first = pl.program_id(1) == 0  # block j first seen at batch 0
 
     @pl.when(first)
     def _init():
@@ -208,20 +218,23 @@ def _fused_bwd(window_size, num_heads, scale, interpret, qkv, bias, dout):
     c = c3 // 3
     ws, n = window_size, window_size * window_size
     nw = w // ws
-    bias_spec, broadcast_bias = _bias_spec_and_flag(bias.shape, num_heads, n, nw)
+    # Grid is (window-rows, batch) — batch minormost so per-window-row dbias
+    # blocks are revisited on consecutive iterations (TPU output-revisit rule).
+    bias_spec, broadcast_bias = _bias_spec_and_flag(bias.shape, num_heads, n, nw,
+                                                    batch_minor=True)
     kernel = functools.partial(_attention_bwd_kernel, ws=ws, num_heads=num_heads,
                                c=c, scale=scale, broadcast_bias=broadcast_bias)
     dqkv, dbias = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
                    jax.ShapeDtypeStruct(bias.shape, jnp.float32)),
-        grid=(b, h // ws),
+        grid=(h // ws, b),
         in_specs=[
-            pl.BlockSpec((1, ws, w, c3), lambda bi, j: (bi, j, 0, 0)),
+            pl.BlockSpec((1, ws, w, c3), lambda j, bi: (bi, j, 0, 0)),
             bias_spec,
-            pl.BlockSpec((1, ws, w, c), lambda bi, j: (bi, j, 0, 0)),
+            pl.BlockSpec((1, ws, w, c), lambda j, bi: (bi, j, 0, 0)),
         ],
-        out_specs=(pl.BlockSpec((1, ws, w, c3), lambda bi, j: (bi, j, 0, 0)),
+        out_specs=(pl.BlockSpec((1, ws, w, c3), lambda j, bi: (bi, j, 0, 0)),
                    bias_spec),
         interpret=interpret,
     )(qkv, bias, dout)
