@@ -81,6 +81,22 @@ def ema_update(ema_params, params, decay: float):
     return jax.tree_util.tree_map(lambda e, p: e * decay + p * (1. - decay), ema_params, params)
 
 
+def advance_schedule_count(opt_state):
+    """Advance only the LR-schedule counters inside an optax state.
+
+    Used on gated-off update iterations (``net_d_iters``): the reference
+    steps LR schedulers every iteration but leaves the optimizer untouched,
+    so Adam moments/bias-correction counts must NOT advance while the
+    schedule position must."""
+    def bump(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(count=s.count + 1)
+        return s
+
+    return jax.tree_util.tree_map(
+        bump, opt_state, is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState))
+
+
 class BaseModel:
     """Base model (reference base_model.py:13)."""
 
@@ -292,9 +308,11 @@ def _match_tree(tree, template, strict: bool = True):
     for k in sorted(mismatched):
         logger.warning(f'Size mismatch for {k}: template {np.shape(flat_tpl[k])} vs '
                        f'loaded {np.shape(flat_new[k])}')
-    if strict and (missing or mismatched):
+    if strict and (missing or mismatched or unexpected):
+        # torch strict load_state_dict also rejects unexpected keys — a
+        # typo'd or wrong checkpoint must not load partially and silently.
         raise KeyError(f'Checkpoint does not match network: missing={sorted(missing)}, '
-                       f'mismatched={sorted(mismatched)}')
+                       f'unexpected={sorted(unexpected)}, mismatched={sorted(mismatched)}')
     out = {}
     for k, v in flat_tpl.items():
         if k in flat_new and k not in mismatched:

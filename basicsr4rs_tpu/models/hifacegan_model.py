@@ -57,7 +57,7 @@ class HiFaceGANModel(SRGANModel):
         pred_real = [[t[half:] for t in scale] for scale in out]
         return pred_fake, pred_real
 
-    def _g_losses(self, g_params, batch, d_params, d_stats):
+    def _g_losses(self, g_params, batch, d_params, d_stats, ema_params=None):
         output = self.net_g.apply({'params': g_params}, batch['lq'])
         losses = OrderedDict()
         total = 0.

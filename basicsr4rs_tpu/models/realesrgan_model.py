@@ -19,7 +19,7 @@ class RealESRGANModel(_SynthesisMixin, SRGANModel):
         super().__init__(opt)
         self._init_synthesis()
 
-    def _g_losses(self, g_params, batch, d_params, d_stats):
+    def _g_losses(self, g_params, batch, d_params, d_stats, ema_params=None):
         gt = batch['gt']
         gt_usm = batch.get('gt_usm', gt)
         l1_gt = gt_usm if self.opt.get('l1_gt_usm', True) else gt
@@ -33,6 +33,11 @@ class RealESRGANModel(_SynthesisMixin, SRGANModel):
             l_g_pix = self.cri_pix(output, l1_gt)
             losses['l_g_pix'] = l_g_pix
             total += l_g_pix
+        if self.cri_ldl is not None:
+            # LDL map uses the plain (non-USM) gt (reference realesrgan_model.py:223)
+            l_g_ldl = self._ldl_loss(output, gt, batch['lq'], ema_params)
+            losses['l_g_ldl'] = l_g_ldl
+            total += l_g_ldl
         if self.cri_perceptual is not None:
             l_percep, l_style = self.cri_perceptual(output, percep_gt)
             if l_percep is not None:

@@ -340,10 +340,11 @@ class SRModel(BaseModel):
             'step': self.state.step,
             'params': self.state.params,
             'params_ema': (self.state.ema_params if self.state.ema_params is not None else {}),
+            'stats': self.state.stats or {},
         })
 
     def resume_training(self, resume_state):
-        """Restore step/params/opt state (reference base_model.py:361-374)."""
+        """Restore step/params/opt/stats state (reference base_model.py:361-374)."""
         step = jnp.asarray(resume_state['step'], jnp.int32)
         params = resume_state['params']
         ema = resume_state.get('params_ema')
@@ -354,5 +355,9 @@ class SRModel(BaseModel):
         opt_state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(self.state.opt_state),
             jax.tree_util.tree_leaves(resume_state['opt_state_g']))
-        state = TrainState(step=step, params=params, ema_params=ema_params, opt_state=opt_state)
+        # BatchNorm-style running stats (DUF/TOF): older states lack the key.
+        stats = resume_state.get('stats')
+        stats = stats if stats else self.net_stats
+        state = TrainState(step=step, params=params, ema_params=ema_params,
+                           opt_state=opt_state, stats=stats)
         self.state = replicate(state, self.mesh)

@@ -20,7 +20,8 @@ from ..archs import build_network
 from ..losses import build_loss
 from ..utils.registry import MODEL_REGISTRY
 from ..parallel.mesh import replicate
-from .base_model import TrainState, build_optimizer, ema_update
+from .base_model import (TrainState, advance_schedule_count, build_optimizer,
+                         ema_update)
 from .lr_scheduler import build_schedule
 from .sr_model import SRModel
 
@@ -51,6 +52,10 @@ class SRGANModel(SRModel):
         self.cri_perceptual = (build_loss(train_opt['perceptual_opt'])
                                if train_opt.get('perceptual_opt') else None)
         self.cri_ldl = build_loss(train_opt['ldl_opt']) if train_opt.get('ldl_opt') else None
+        if self.cri_ldl is not None and self.ema_decay <= 0:
+            # the LDL artifact map is computed against the EMA output
+            # (reference realesrgan_model.py:211-226 uses net_g_ema)
+            raise ValueError('ldl_opt requires ema_decay > 0.')
         self.cri_gan = build_loss(train_opt['gan_opt'])
         self.net_d_iters = train_opt.get('net_d_iters', 1)
         self.net_d_init_iters = train_opt.get('net_d_init_iters', 0)
@@ -124,7 +129,16 @@ class SRGANModel(SRModel):
                            out_d_real=jnp.mean(real_d_pred), out_d_fake=jnp.mean(fake_d_pred))
         return l_d_real + l_d_fake, logs, d_stats
 
-    def _g_losses(self, g_params, batch, d_params, d_stats):
+    def _ldl_loss(self, output, gt, lq, ema_params):
+        """LDL artifact-weighted pixel loss (reference realesrgan_model.py:
+        211-226): artifact map from the live output vs the EMA output."""
+        from ..losses.loss_util import get_refined_artifact_map
+        output_ema = jax.lax.stop_gradient(
+            self.net_g.apply({'params': ema_params}, lq))
+        pixel_weight = get_refined_artifact_map(gt, output, output_ema, 7)
+        return self.cri_ldl(pixel_weight * output, pixel_weight * gt)
+
+    def _g_losses(self, g_params, batch, d_params, d_stats, ema_params=None):
         output = self.net_g.apply({'params': g_params}, batch['lq'])
         losses = OrderedDict()
         total = 0.
@@ -132,6 +146,10 @@ class SRGANModel(SRModel):
             l_g_pix = self.cri_pix(output, batch['gt'])
             losses['l_g_pix'] = l_g_pix
             total += l_g_pix
+        if self.cri_ldl is not None:
+            l_g_ldl = self._ldl_loss(output, batch['gt'], batch['lq'], ema_params)
+            losses['l_g_ldl'] = l_g_ldl
+            total += l_g_ldl
         if self.cri_perceptual is not None:
             l_percep, l_style = self.cri_perceptual(output, batch['gt'])
             if l_percep is not None:
@@ -157,7 +175,7 @@ class SRGANModel(SRModel):
             # ---- G phase (reference srgan_model.py:85-117)
             (_, (g_logs, output)), g_grads = jax.value_and_grad(
                 self._g_losses, has_aux=True)(g_state.params, batch, d_state.params,
-                                              d_state.stats)
+                                              d_state.stats, g_state.ema_params)
             do_g = jnp.logical_and(step1 % net_d_iters == 0, step1 > net_d_init_iters)
 
             def apply_g(_):
@@ -165,11 +183,10 @@ class SRGANModel(SRModel):
                 return optax.apply_updates(g_state.params, updates), opt_state
 
             def skip_g(_):
-                # advance the schedule step count without touching params
-                updates, opt_state = self.tx_g.update(
-                    jax.tree_util.tree_map(jnp.zeros_like, g_grads), g_state.opt_state,
-                    g_state.params)
-                return g_state.params, opt_state
+                # Reference leaves optim_g untouched on gated iterations but
+                # steps the LR scheduler every iteration: keep Adam moments/
+                # counts as-is, advance only the schedule position.
+                return g_state.params, advance_schedule_count(g_state.opt_state)
 
             g_params, g_opt_state = jax.lax.cond(do_g, apply_g, skip_g, None)
             ema_params = g_state.ema_params
