@@ -6,9 +6,11 @@ TPU-native notes:
   * Static shapes under jit: the shifted-window attention mask and relative-
     position index are computed with numpy at trace time (inputs are padded
     to window multiples by ``SwinIRModel``).
-  * The attention inner loop (qk + bias + mask + softmax + v per window) is
-    left to XLA fusion here; `ops/window_attention.py` provides the fused
-    Pallas kernel used when ``use_pallas_attn`` is enabled.
+  * The attention inner loop (qk + bias + mask + softmax + v per window)
+    runs through the Pallas fused kernel in ``ops/window_attention.py`` by
+    default (``fused_attn=True``): it has a custom flash-style VJP so it is
+    the hot path for BOTH training and inference on TPU, and falls back to
+    the pure-XLA reference chain off-TPU or when ``attn_drop > 0``.
 """
 
 from __future__ import annotations
@@ -94,8 +96,9 @@ class WindowAttention(nn.Module):
     """W-MSA with relative position bias (reference swinir_arch.py:95-192).
 
     Two call paths over the SAME parameters: ``__call__`` (windowed tokens,
-    differentiable, torch-parity) and ``fused`` (full NHWC map through the
-    Pallas fused window-attention kernel — inference fast path on TPU)."""
+    torch-parity XLA chain) and ``fused`` (full NHWC map through the Pallas
+    fused window-attention kernel; differentiable via its custom VJP, so it
+    serves training and inference alike on TPU)."""
     dim: int
     window_size: Tuple[int, int]
     num_heads: int
@@ -187,7 +190,7 @@ class SwinTransformerBlock(nn.Module):
     drop: float = 0.
     attn_drop: float = 0.
     drop_path: float = 0.
-    fused_attn: bool = False
+    fused_attn: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -245,7 +248,7 @@ class BasicLayer(nn.Module):
     drop: float = 0.
     attn_drop: float = 0.
     drop_path: Sequence[float] = ()
-    fused_attn: bool = False
+    fused_attn: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -275,7 +278,7 @@ class RSTB(nn.Module):
     attn_drop: float = 0.
     drop_path: Sequence[float] = ()
     resi_connection: str = '1conv'
-    fused_attn: bool = False
+    fused_attn: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -332,7 +335,7 @@ class SwinIR(nn.Module):
     img_range: float = 1.
     upsampler: str = ''
     resi_connection: str = '1conv'
-    fused_attn: bool = False
+    fused_attn: bool = True
     dtype: Any = None
 
     @nn.compact

@@ -173,7 +173,7 @@ class SwinBlockGN(nn.Module):
     window_size: int
     shift_size: int
     mlp_ratio: float = 2.
-    fused_attn: bool = False
+    fused_attn: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -221,7 +221,7 @@ class BasicLayer(nn.Module):
     depth: int = 2
     mlp_ratio: float = 2.
     patch_norm: bool = False
-    fused_attn: bool = False
+    fused_attn: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -276,7 +276,7 @@ class UNetModelSwin(nn.Module):
     cond_mask: bool = False
     lq_size: int = 256
     lq_channels: Optional[int] = None  # used by model init plumbing only
-    fused_attn: bool = False
+    fused_attn: bool = True
     dtype: Any = None
 
     def _swin_heads(self):

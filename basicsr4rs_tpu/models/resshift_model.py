@@ -134,13 +134,8 @@ class ResShiftModel(SRRSModel):
 
     # ------------------------------------------------------------------ test
     def _sampling_net(self):
-        """Sampling is pure inference: on TPU, route Swin UNets through the
-        Pallas fused window-attention kernel (same params)."""
-        if (jax.default_backend() == 'tpu'
-                and getattr(self.net_g, 'fused_attn', None) is False
-                and self.opt['network_g'].get('fused_attn') is not False):
-            import dataclasses
-            return dataclasses.replace(self.net_g, fused_attn=True)
+        """Swin UNets default to the Pallas fused window-attention kernel
+        (``fused_attn=True``; auto-falls back to XLA off-TPU)."""
         return self.net_g
 
     def test(self):

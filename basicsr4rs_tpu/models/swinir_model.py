@@ -26,20 +26,6 @@ def pad_to_multiple(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
 @MODEL_REGISTRY.register()
 class SwinIRModel(SRModel):
 
-    def _apply_net_g(self, params, x, stats=None, train=False):
-        """Evaluation uses the Pallas fused window-attention path on TPU
-        (same params, bit-compatible numerics up to bf16 rounding); training
-        keeps the differentiable XLA path."""
-        import dataclasses
-
-        import jax
-        if (not train and jax.default_backend() == 'tpu'
-                and getattr(self.net_g, 'fused_attn', None) is False
-                and self.opt['network_g'].get('fused_attn') is not False):
-            net = dataclasses.replace(self.net_g, fused_attn=True)
-            return net.apply({'params': params}, x), stats
-        return super()._apply_net_g(params, x, stats, train)
-
     def test(self):
         window_size = self.opt['network_g'].get('window_size', 8)
         scale = self.opt.get('scale', 1)
