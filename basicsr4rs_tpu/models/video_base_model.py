@@ -23,15 +23,72 @@ class VideoBaseModel(SRModel):
     def _dummy_input(self):
         import jax.numpy as jnp
         num_in_ch = self.opt['network_g'].get('num_in_ch', 3)
-        num_frame = self.opt['network_g'].get('num_frame', 5)
+        # DUF/TOF have no num_frame network arg — their frame count lives in
+        # the dataset opt (reference options/train/DUF style configs).
+        num_frame = self.opt['network_g'].get('num_frame')
+        if num_frame is None:
+            train_ds = (self.opt.get('datasets') or {}).get('train') or {}
+            num_frame = train_ds.get('num_frame', 5)
         return jnp.zeros((1, num_frame, 16, 16, num_in_ch), jnp.float32)
 
+    @staticmethod
+    def _collate_single(item):
+        """``dataset[idx]`` -> batch-of-1, like the default collate
+        (the reference's manual ``unsqueeze_(0)``, video_base_model.py:64-70)."""
+        out = {}
+        for k, v in item.items():
+            if isinstance(v, np.ndarray) or hasattr(v, 'ndim'):
+                out[k] = np.asarray(v)[None]
+            else:
+                out[k] = [v]
+        return out
+
+    def _init_folder_metric_results(self, dataset):
+        """Zero-filled (num_frames, num_metrics) array per folder; every
+        process allocates the FULL set so the cross-process sum merges
+        disjoint strides (reference video_base_model.py:49-62)."""
+        num_frame_each_folder = Counter(dataset.data_info['folder'])
+        self.metric_results_per_folder = {
+            folder: np.zeros((num_frame, len(self.opt['val']['metrics'])), np.float32)
+            for folder, num_frame in num_frame_each_folder.items()
+        }
+
+    def _merge_metric_results(self):
+        """Sum-merge the per-folder metric arrays across processes with one
+        collective (reference dist.reduce loop, video_base_model.py:103-111)."""
+        from ..utils.dist_util import sum_across_processes
+        folders = sorted(self.metric_results_per_folder)
+        flat = np.concatenate([self.metric_results_per_folder[f] for f in folders], axis=0)
+        merged = sum_across_processes(flat)
+        offset = 0
+        for f in folders:
+            n = self.metric_results_per_folder[f].shape[0]
+            self.metric_results_per_folder[f] = merged[offset:offset + n]
+            offset += n
+
     def dist_validation(self, dataloader, current_iter, tb_logger, save_img):
-        """On TPU, metric reduction is host-side; each process validates its
-        stride of frames and process 0 reports (the reference dist.reduces
-        GPU tensors, video_base_model.py:46-111)."""
-        if self.opt['rank'] == 0:
-            self.nondist_validation(dataloader, current_iter, tb_logger, save_img)
+        """Frame-strided distributed validation: each process evaluates
+        frames ``idx = rank::world_size`` of the flat dataset and fills its
+        rows of the zero-initialized per-folder metric arrays; the arrays are
+        sum-merged across processes and process 0 reports (reference
+        video_base_model.py:46-111)."""
+        rank = self.opt.get('rank', 0)
+        world_size = self.opt.get('world_size', 1)
+        dataset = dataloader.dataset
+        dataset_name = dataset.opt['name']
+        with_metrics = self.opt['val'].get('metrics') is not None
+        if with_metrics:
+            self._init_folder_metric_results(dataset)
+            self._initialize_best_metric_results(dataset_name)
+
+        for i in range(rank, len(dataset), world_size):
+            self._validate_frame_item(self._collate_single(dataset[i]),
+                                      dataset_name, save_img, with_metrics)
+
+        if with_metrics:
+            self._merge_metric_results()
+            if rank == 0:
+                self._log_video_metrics(current_iter, dataset_name, tb_logger)
 
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
         dataset = dataloader.dataset
@@ -39,53 +96,53 @@ class VideoBaseModel(SRModel):
         with_metrics = self.opt['val'].get('metrics') is not None
 
         if with_metrics:
-            num_frame_each_folder = Counter(dataset.data_info['folder'])
-            self.metric_results_per_folder = {
-                folder: np.zeros((num_frame, len(self.opt['val']['metrics'])), np.float32)
-                for folder, num_frame in num_frame_each_folder.items()
-            }
+            self._init_folder_metric_results(dataset)
             self._initialize_best_metric_results(dataset_name)
 
         for val_data in dataloader:
-            folder = val_data['folder'][0]
-            frame_idx, max_idx = val_data['idx'][0].split('/')
-
-            self.feed_data(val_data)
-            self.test()
-            visuals = self.get_current_visuals()
-            result_img = tensor2img(visuals['result'])
-            if isinstance(result_img, list):
-                result_img = result_img[0]
-            metric_data = {'img': result_img}
-            if 'gt' in visuals:
-                gt_img = tensor2img(visuals['gt'])
-                if isinstance(gt_img, list):
-                    gt_img = gt_img[0]
-                metric_data['img2'] = gt_img
-
-            if save_img:
-                if self.opt['is_train']:
-                    raise NotImplementedError('saving image is not supported during training.')
-                if 'vimeo' in dataset_name.lower():
-                    split_result = val_data['lq_path'][0].split('/')
-                    img_name = f'{split_result[-3]}_{split_result[-2]}_{split_result[-1].split(".")[0]}'
-                else:
-                    img_name = osp.splitext(osp.basename(val_data['lq_path'][0]))[0]
-                if self.opt['val'].get('suffix'):
-                    save_img_path = osp.join(self.opt['path']['visualization'], dataset_name, folder,
-                                             f"{img_name}_{self.opt['val']['suffix']}.png")
-                else:
-                    save_img_path = osp.join(self.opt['path']['visualization'], dataset_name, folder,
-                                             f"{img_name}_{self.opt['name']}.png")
-                imwrite(result_img, save_img_path)
-
-            if with_metrics:
-                for metric_idx, opt_ in enumerate(self.opt['val']['metrics'].values()):
-                    result = calculate_metric(metric_data, opt_)
-                    self.metric_results_per_folder[folder][int(frame_idx), metric_idx] = result
+            self._validate_frame_item(val_data, dataset_name, save_img, with_metrics)
 
         if with_metrics:
             self._log_video_metrics(current_iter, dataset_name, tb_logger)
+
+    def _validate_frame_item(self, val_data, dataset_name, save_img, with_metrics):
+        """Evaluate one frame-window item and record its metric row."""
+        folder = val_data['folder'][0]
+        frame_idx, max_idx = val_data['idx'][0].split('/')
+
+        self.feed_data(val_data)
+        self.test()
+        visuals = self.get_current_visuals()
+        result_img = tensor2img(visuals['result'])
+        if isinstance(result_img, list):
+            result_img = result_img[0]
+        metric_data = {'img': result_img}
+        if 'gt' in visuals:
+            gt_img = tensor2img(visuals['gt'])
+            if isinstance(gt_img, list):
+                gt_img = gt_img[0]
+            metric_data['img2'] = gt_img
+
+        if save_img:
+            if self.opt['is_train']:
+                raise NotImplementedError('saving image is not supported during training.')
+            if 'vimeo' in dataset_name.lower():
+                split_result = val_data['lq_path'][0].split('/')
+                img_name = f'{split_result[-3]}_{split_result[-2]}_{split_result[-1].split(".")[0]}'
+            else:
+                img_name = osp.splitext(osp.basename(val_data['lq_path'][0]))[0]
+            if self.opt['val'].get('suffix'):
+                save_img_path = osp.join(self.opt['path']['visualization'], dataset_name, folder,
+                                         f"{img_name}_{self.opt['val']['suffix']}.png")
+            else:
+                save_img_path = osp.join(self.opt['path']['visualization'], dataset_name, folder,
+                                         f"{img_name}_{self.opt['name']}.png")
+            imwrite(result_img, save_img_path)
+
+        if with_metrics:
+            for metric_idx, opt_ in enumerate(self.opt['val']['metrics'].values()):
+                result = calculate_metric(metric_data, opt_)
+                self.metric_results_per_folder[folder][int(frame_idx), metric_idx] = result
 
     def _log_video_metrics(self, current_iter, dataset_name, tb_logger):
         """Average per folder and overall (reference video_base_model.py:113-160)."""

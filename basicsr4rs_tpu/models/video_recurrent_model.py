@@ -3,7 +3,6 @@
 
 from __future__ import annotations
 
-from collections import Counter
 from os import path as osp
 
 import jax
@@ -63,45 +62,87 @@ class VideoRecurrentModel(VideoBaseModel):
             output = output[:, output.shape[1] // 2]
         self.output = output
 
+    def dist_validation(self, dataloader, current_iter, tb_logger, save_img):
+        """Folder-strided distributed validation: rank r evaluates folders
+        ``r::world_size``. When the folder count doesn't divide evenly, the
+        tail ranks re-evaluate the last folder WITHOUT recording, so every
+        process executes the same number of steps and stays in lockstep for
+        the final collective (reference video_recurrent_model.py:92-98
+        anti-deadlock padding). Results are sum-merged; process 0 reports."""
+        rank = self.opt.get('rank', 0)
+        world_size = self.opt.get('world_size', 1)
+        dataset = dataloader.dataset
+        dataset_name = dataset.opt['name']
+        with_metrics = self.opt['val'].get('metrics') is not None
+        if with_metrics:
+            self._init_folder_metric_results(dataset)
+            self._initialize_best_metric_results(dataset_name)
+
+        num_folders = len(dataset)
+        num_pad = (world_size - num_folders % world_size) % world_size
+        if rank == 0 and num_pad:
+            get_root_logger().info(
+                f'{num_pad} padding folders added to keep validation in lockstep')
+        for i in range(rank, num_folders + num_pad, world_size):
+            idx = min(i, num_folders - 1)
+            val_data = self._collate_single(dataset[idx])
+            self._validate_folder_item(val_data, dataset_name, save_img,
+                                       with_metrics, record=i < num_folders)
+
+        if with_metrics:
+            self._merge_metric_results()
+            if rank == 0:
+                self._log_video_metrics(current_iter, dataset_name, tb_logger)
+
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
         """Folder-per-item validation (reference :66-174)."""
         dataset = dataloader.dataset
         dataset_name = dataset.opt['name']
         with_metrics = self.opt['val'].get('metrics') is not None
-        metric_names = list(self.opt['val']['metrics'].keys()) if with_metrics else []
 
         if with_metrics:
-            self.metric_results_per_folder = {}
+            self._init_folder_metric_results(dataset)
             self._initialize_best_metric_results(dataset_name)
 
         for val_data in dataloader:
-            folder = val_data['folder'][0]
-            self.feed_data(val_data)
-            self.test()
-            visuals = self.get_current_visuals()
-            result = visuals['result'][0]    # (t, H, W, C)
-            gt = visuals.get('gt')
-            gt = gt[0] if gt is not None else None
-
-            if with_metrics:
-                folder_results = np.zeros((result.shape[0], len(metric_names)), np.float32)
-            for frame_idx in range(result.shape[0]):
-                result_img = tensor2img(result[frame_idx])
-                metric_data = {'img': result_img}
-                if gt is not None:
-                    metric_data['img2'] = tensor2img(gt[frame_idx])
-                if save_img:
-                    save_path = osp.join(self.opt['path']['visualization'], dataset_name, folder,
-                                         f'{frame_idx:08d}_{self.opt["name"]}.png')
-                    imwrite(result_img, save_path)
-                if with_metrics:
-                    for metric_idx, opt_ in enumerate(self.opt['val']['metrics'].values()):
-                        folder_results[frame_idx, metric_idx] = calculate_metric(metric_data, opt_)
-            if with_metrics:
-                self.metric_results_per_folder[folder] = folder_results
+            self._validate_folder_item(val_data, dataset_name, save_img, with_metrics)
 
         if with_metrics:
             self._log_video_metrics(current_iter, dataset_name, tb_logger)
+
+    def _validate_folder_item(self, val_data, dataset_name, save_img,
+                              with_metrics, record=True):
+        """Run inference on one whole-folder item; record metric rows and/or
+        save frames unless this is a lockstep-padding replay."""
+        folder = val_data['folder'][0]
+        self.feed_data(val_data)
+        self.test()
+        visuals = self.get_current_visuals()
+        result = visuals['result'][0]    # (t, H, W, C)
+        gt = visuals.get('gt')
+        gt = gt[0] if gt is not None else None
+        if self.opt['val'].get('center_frame_only', False):
+            # test() squeezed the time axis; restore a 1-frame axis so the
+            # single center frame lands in metric row 0 (reference :120-123)
+            result = result[None]
+            if gt is not None:
+                gt = gt[None] if gt.ndim == 3 else gt[gt.shape[0] // 2][None]
+        if not record:
+            return
+
+        for frame_idx in range(result.shape[0]):
+            result_img = tensor2img(result[frame_idx])
+            metric_data = {'img': result_img}
+            if gt is not None:
+                metric_data['img2'] = tensor2img(gt[frame_idx])
+            if save_img:
+                save_path = osp.join(self.opt['path']['visualization'], dataset_name, folder,
+                                     f'{frame_idx:08d}_{self.opt["name"]}.png')
+                imwrite(result_img, save_path)
+            if with_metrics:
+                for metric_idx, opt_ in enumerate(self.opt['val']['metrics'].values()):
+                    self.metric_results_per_folder[folder][frame_idx, metric_idx] = (
+                        calculate_metric(metric_data, opt_))
 
 
 def _flatten_frames(x):

@@ -64,6 +64,21 @@ def get_device_info() -> Tuple[int, int]:
     return jax.local_device_count(), jax.device_count()
 
 
+def sum_across_processes(arr):
+    """Host-side sum-reduce of a numpy array over all JAX processes.
+
+    The analog of the reference's ``dist.reduce`` of zero-initialized metric
+    tensors (basicsr/models/video_base_model.py:103-111): each process fills
+    a disjoint stride of rows, the sum merges them. Identity in
+    single-process runs (including the 8-virtual-device CPU test mesh)."""
+    import numpy as np
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(jax.numpy.asarray(arr))
+    return np.asarray(gathered).sum(axis=0)
+
+
 def is_master() -> bool:
     return jax.process_index() == 0
 
