@@ -92,13 +92,42 @@ class Mlp(nn.Module):
         return x
 
 
+class DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact param layout (kernel/bias) —
+    returns the raw arrays so fused kernels can consume them directly while
+    checkpoints stay byte-compatible with the nn.Dense version."""
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', trunc_normal_init(.02),
+                            (self.features_in, self.features_out))
+        bias = (self.param('bias', nn.initializers.zeros, (self.features_out,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class LNParams(nn.Module):
+    """nn.LayerNorm's param layout (scale/bias), returned as raw arrays."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param('scale', nn.initializers.ones, (self.features,)),
+                self.param('bias', nn.initializers.zeros, (self.features,)))
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (reference swinir_arch.py:95-192).
 
-    Two call paths over the SAME parameters: ``__call__`` (windowed tokens,
-    torch-parity XLA chain) and ``fused`` (full NHWC map through the Pallas
-    fused window-attention kernel; differentiable via its custom VJP, so it
-    serves training and inference alike on TPU)."""
+    Three call paths over the SAME parameters: ``__call__`` (windowed
+    tokens, torch-parity XLA chain), ``fused`` (full NHWC map through the
+    Pallas fused window-attention kernel), and ``fused_block`` (the whole
+    LN1+qkv+attention+proj branch in one Pallas call — the training and
+    inference hot path on TPU; see ops/swin_block.py). All are
+    differentiable (custom VJPs on the fused paths)."""
     dim: int
     window_size: Tuple[int, int]
     num_heads: int
@@ -113,12 +142,18 @@ class WindowAttention(nn.Module):
             'relative_position_bias_table', trunc_normal_init(.02),
             ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1),
              self.num_heads))
-        self.qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
-                            kernel_init=trunc_normal_init(.02), dtype=self.dtype)
-        self.proj = nn.Dense(self.dim, kernel_init=trunc_normal_init(.02),
-                             dtype=self.dtype)
+        self.qkv = DenseParams(self.dim, self.dim * 3, use_bias=self.qkv_bias)
+        self.proj = DenseParams(self.dim, self.dim)
         self.attn_dropout = nn.Dropout(self.attn_drop)
         self.proj_dropout = nn.Dropout(self.proj_drop)
+
+    def _dense(self, x, w, b):
+        """nn.Dense semantics: operands cast to module dtype."""
+        dt = self.dtype or x.dtype
+        y = x.astype(dt) @ w.astype(dt)
+        if b is not None:
+            y = y + b.astype(dt)
+        return y
 
     def _bias_matrix(self, n):
         idx = _relative_position_index(*self.window_size)
@@ -130,7 +165,7 @@ class WindowAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
 
-        qkv = self.qkv(x)
+        qkv = self._dense(x, *self.qkv())
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]          # (b_, nH, n, hd)
 
@@ -145,22 +180,44 @@ class WindowAttention(nn.Module):
         attn = self.attn_dropout(attn, deterministic=deterministic)
 
         x = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
-        x = self.proj(x)
+        x = self._dense(x, *self.proj())
         x = self.proj_dropout(x, deterministic=deterministic)
         return x
 
-    def fused(self, x, window_size: int, mask=None, deterministic: bool = True):
-        """x: (B, H, W, C) (already shifted); one Pallas kernel per layer."""
-        from ..ops.window_attention import fused_window_attention
+    def _packed_bias(self, window_size: int, mask):
         n = window_size * window_size
-        head_dim = self.dim // self.num_heads
-        scale = self.qk_scale or head_dim**-0.5
-        qkv = self.qkv(x)
         bias = self._bias_matrix(n)[None].astype(jnp.float32)  # (1, nH, n, n)
         if mask is not None:
             bias = bias + jnp.asarray(mask)[:, None].astype(jnp.float32)
+        return bias
+
+    def fused(self, x, window_size: int, mask=None, deterministic: bool = True):
+        """x: (B, H, W, C) (already shifted); one Pallas attention kernel."""
+        from ..ops.window_attention import fused_window_attention
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+        qkv = self._dense(x, *self.qkv())
+        bias = self._packed_bias(window_size, mask)
         out = fused_window_attention(qkv, bias, window_size, self.num_heads, scale)
-        out = self.proj(out)
+        out = self._dense(out, *self.proj())
+        return self.proj_dropout(out, deterministic=deterministic)
+
+    def fused_block(self, x, ln_scale, ln_bias, window_size: int, mask=None,
+                    deterministic: bool = True):
+        """The whole attention branch — LN1(x) -> qkv -> W-MSA -> proj — in
+        one Pallas call (ops/swin_block.py). x: (B, H, W, C), already
+        shifted; the caller adds the residual (and DropPath)."""
+        from ..ops.swin_block import fused_swin_attn_block
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+        wqkv, bqkv = self.qkv()
+        wproj, bproj = self.proj()
+        if bqkv is None:
+            bqkv = jnp.zeros((self.dim * 3,), jnp.float32)
+        bias = self._packed_bias(window_size, mask)
+        out = fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                                    bproj, bias, window_size, self.num_heads,
+                                    scale)
         return self.proj_dropout(out, deterministic=deterministic)
 
 
@@ -204,8 +261,19 @@ class SwinTransformerBlock(nn.Module):
             window_size = min(x_size)
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
-        x = x.reshape(b, h, w, c)
+        attn_mod = WindowAttention(self.dim, (window_size, window_size), self.num_heads,
+                                   self.qkv_bias, self.qk_scale, self.attn_drop, self.drop,
+                                   dtype=self.dtype, name='attn')
+        fused = self.fused_attn and self.attn_drop == 0.
+
+        if fused:
+            # LN1 is folded into the fused block kernel; LN is pointwise so
+            # applying it after the shift-roll is numerically identical.
+            ln_scale, ln_bias = LNParams(self.dim, name='norm1')()
+            x = x.reshape(b, h, w, c)
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
+            x = x.reshape(b, h, w, c)
 
         if shift_size > 0:
             x = jnp.roll(x, (-shift_size, -shift_size), axis=(1, 2))
@@ -213,12 +281,10 @@ class SwinTransformerBlock(nn.Module):
         else:
             mask = None
 
-        attn_mod = WindowAttention(self.dim, (window_size, window_size), self.num_heads,
-                                   self.qkv_bias, self.qk_scale, self.attn_drop, self.drop,
-                                   dtype=self.dtype, name='attn')
-        if self.fused_attn and self.attn_drop == 0.:
-            # Pallas fused kernel over the full (shifted) NHWC map
-            x = attn_mod.fused(x, window_size, mask=mask, deterministic=deterministic)
+        if fused:
+            # whole branch (LN1+qkv+attn+proj) in one Pallas call
+            x = attn_mod.fused_block(x, ln_scale, ln_bias, window_size,
+                                     mask=mask, deterministic=deterministic)
         else:
             x_windows = window_partition(x, window_size).reshape(-1, window_size * window_size, c)
             attn_windows = attn_mod(x_windows, mask=mask, deterministic=deterministic)

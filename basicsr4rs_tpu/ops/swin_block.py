@@ -1,0 +1,408 @@
+"""Fused Swin attention-branch kernel: LN1 -> qkv GEMM -> windowed MHA ->
+proj, in ONE Pallas call.
+
+Motivation (measured on v5e, SwinIR-M x4, batch 8x64x64): with the
+qkv-level fused attention kernel the model still spends ~half its time
+shuttling intermediates through HBM — LayerNorm read/write, the qkv tensor
+(3C wide) written by XLA and re-read by the kernel, the attention output
+re-read by the proj GEMM. Fusing the whole branch keeps every intermediate
+in VMEM: per layer the branch touches HBM only for x in (C wide) and the
+branch output (C wide), ~6x less traffic. The window-packing trick from
+``ops/window_attention.py`` (p windows per 128-wide MXU block, cross-window
+quadrants masked with -1e9) is reused for the attention dots.
+
+The residual add and DropPath stay OUTSIDE (the caller owns them), so the
+kernel computes exactly ``proj(attn(LN(x))) + b_proj``.
+
+Backward is a single Pallas kernel too: it recomputes LN/qkv/attention
+(flash-style — only x is saved) and emits gradients for x, the LN affine,
+Wqkv/bqkv, Wproj/bproj, and the (packed) attention bias. Weight gradients
+accumulate across the whole grid in constant-index f32 output blocks; the
+grid is (window-rows, W-chunks, batch) with batch minormost so per-row
+dbias blocks are revisited on consecutive iterations (TPU output-revisit
+rule). W is processed in chunks sized to keep the backward working set
+inside the ~16 MB VMEM.
+
+Numerics match the unfused module path (f32 LN statistics and softmax)
+at bf16-rounding tolerance — asserted in tests/test_ops/test_swin_block.py
+in interpret mode, and against the XLA path on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .window_attention import (_pack_bias, _pack_factor, _unpack_dbias,
+                               reference_window_attention)
+
+_LN_EPS = 1e-5
+
+
+# ------------------------------------------------------------- reference
+def reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                              bias, window_size: int, num_heads: int,
+                              scale: float):
+    """Pure-XLA branch (non-TPU fallback; autodiff provides the backward).
+    x: (B, H, W, C); returns proj(attn(LN(x))) + bproj, same shape/dtype."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    xn = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    qkv = (xn.astype(dt) @ wqkv.astype(dt)).astype(jnp.float32) + bqkv.astype(jnp.float32)
+    a = reference_window_attention(qkv.astype(dt), bias, window_size,
+                                   num_heads, scale)
+    z = (a @ wproj.astype(dt)).astype(jnp.float32) + bproj.astype(jnp.float32)
+    return z.astype(dt)
+
+
+# ----------------------------------------------------------- chunk sizing
+def _chunk_cols(w: int, ws: int, pack: int, c: int, bwd: bool) -> int:
+    """Largest W-chunk (multiple of ws*pack, divides w) whose backward
+    working set fits VMEM (~16MB; budget ~6MB for the f32 token buffers —
+    roughly 8 live (T, C) f32 tensors in the backward, 3 in the forward)."""
+    unit = ws * pack
+    per_token_bytes = c * 4 * (8 if bwd else 3)
+    budget = 6e6
+    best = unit
+    cw = unit
+    while cw <= w:
+        if w % cw == 0 and ws * cw * per_token_bytes <= budget:
+            best = cw
+        cw += unit
+    return best
+
+
+# --------------------------------------------------------------- kernels
+def _window_pack(x, ws, nw, pack, c3):
+    """(ws, CW, C') -> (ng*pn, C') token rows in packed-window order."""
+    n = ws * ws
+    ng = nw // pack
+    return (x.reshape(ws, nw, ws, c3).transpose(1, 0, 2, 3)
+            .reshape(ng * pack * n, c3))
+
+
+def _window_unpack(x, ws, nw, cw, c3):
+    """inverse of _window_pack: (T, C') -> (ws, CW, C')."""
+    return (x.reshape(nw, ws, ws, c3).transpose(1, 0, 2, 3)
+            .reshape(ws, cw, c3))
+
+
+def _ln_forward(xf, ln_scale, ln_bias):
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    xn = (xf - mu) * inv * ln_scale + ln_bias
+    return xn, mu, inv
+
+
+def _attention_heads(qkv3, bias_ref, num_heads, c, scale, broadcast_bias,
+                     out_dtype):
+    """qkv3: (ng, pn, 3C) -> attention output (ng, pn, C)."""
+    hd = c // num_heads
+    outs = []
+    for head in range(num_heads):
+        q = qkv3[:, :, head * hd:(head + 1) * hd].astype(jnp.float32) * scale
+        k = qkv3[:, :, c + head * hd:c + (head + 1) * hd].astype(jnp.float32)
+        v = qkv3[:, :, 2 * c + head * hd:2 * c + (head + 1) * hd]
+        attn = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        attn = attn + (bias_ref[0, head] if broadcast_bias else bias_ref[:, head])
+        attn = jax.nn.softmax(attn, axis=-1).astype(out_dtype)
+        outs.append(jax.lax.dot_general(attn, v, (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                      bproj_ref, bias_ref, out_ref, *, ws, num_heads, c,
+                      scale, broadcast_bias, pack):
+    x = x_ref[0]                               # (ws, CW, C)
+    cw = x.shape[1]
+    nw = cw // ws
+    n = ws * ws
+    ng, pn = nw // pack, pack * n
+    dt = x.dtype
+
+    xw = _window_pack(x, ws, nw, pack, c)      # (T, C)
+    xn, _, _ = _ln_forward(xw.astype(jnp.float32), lns_ref[0], lnb_ref[0])
+    qkv = jax.lax.dot(xn.astype(dt), wqkv_ref[...],
+                      preferred_element_type=jnp.float32) + bqkv_ref[0]
+    a = _attention_heads(qkv.astype(dt).reshape(ng, pn, 3 * c), bias_ref,
+                         num_heads, c, scale, broadcast_bias, dt)
+    z = jax.lax.dot(a.reshape(ng * pn, c).astype(dt), wproj_ref[...],
+                    preferred_element_type=jnp.float32) + bproj_ref[0]
+    out_ref[0] = _window_unpack(z.astype(out_ref.dtype), ws, nw, cw, c)
+
+
+def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                      bias_ref, dz_ref,
+                      dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+                      dwproj_ref, dbproj_ref, dbias_ref, *, ws, num_heads, c,
+                      scale, broadcast_bias, pack):
+    from jax.experimental import pallas as pl
+
+    x = x_ref[0]                               # (ws, CW, C)
+    dz = dz_ref[0]
+    cw = x.shape[1]
+    nw = cw // ws
+    n = ws * ws
+    hd = c // num_heads
+    ng, pn = nw // pack, pack * n
+    t = ng * pn
+    dt = x.dtype
+
+    # accumulating outputs: zero on the global first visit (constant-index
+    # blocks stay resident across the whole sequential grid); dbias blocks
+    # are per-(row,chunk) for shift masks -> zero at batch==0 (minormost)
+    first_all = jnp.logical_and(
+        jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+        pl.program_id(2) == 0)
+    first_batch = pl.program_id(2) == 0
+
+    @pl.when(first_all)
+    def _init_weight_grads():
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[...] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[...] = jnp.zeros_like(dbproj_ref)
+
+    @pl.when(first_all if broadcast_bias else first_batch)
+    def _init_dbias():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    # ---- recompute forward up to the attention probabilities
+    xw = _window_pack(x, ws, nw, pack, c)
+    xf = xw.astype(jnp.float32)
+    lns = lns_ref[0]
+    xn, mu, inv = _ln_forward(xf, lns, lnb_ref[0])
+    xn_dt = xn.astype(dt)
+    qkv = (jax.lax.dot(xn_dt, wqkv_ref[...],
+                       preferred_element_type=jnp.float32) + bqkv_ref[0])
+    qkv3 = qkv.astype(dt).reshape(ng, pn, 3 * c)
+
+    dz_w = _window_pack(dz, ws, nw, pack, c).astype(jnp.float32)   # (T, C)
+
+    # ---- proj backward (needs the recomputed attention output)
+    a = _attention_heads(qkv3, bias_ref, num_heads, c, scale, broadcast_bias,
+                         dt).reshape(t, c)
+    dwproj_ref[...] += jax.lax.dot_general(
+        a.astype(jnp.float32), dz_w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbproj_ref[0] += jnp.sum(dz_w, axis=0)
+    da = jax.lax.dot_general(dz_w.astype(dt), wproj_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # (T, C)
+    da3 = da.reshape(ng, pn, c)
+
+    # ---- attention backward per head (softmax VJP on recomputed P)
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for head in range(num_heads):
+        q = qkv3[:, :, head * hd:(head + 1) * hd].astype(jnp.float32)
+        k = qkv3[:, :, c + head * hd:c + (head + 1) * hd].astype(jnp.float32)
+        v = qkv3[:, :, 2 * c + head * hd:2 * c + (head + 1) * hd].astype(jnp.float32)
+        do = da3[:, :, head * hd:(head + 1) * hd]
+
+        s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + (bias_ref[0, head] if broadcast_bias else bias_ref[:, head])
+        p = jax.nn.softmax(s, axis=-1)
+
+        dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = scale * jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)
+        dk = scale * jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)
+        dq_parts.append(dq)
+        dk_parts.append(dk)
+        dv_parts.append(dv)
+        if broadcast_bias:
+            dbias_ref[0, head] += jnp.sum(ds, axis=0)
+        else:
+            dbias_ref[:, head] += ds
+
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1).reshape(t, 3 * c)
+
+    # ---- qkv GEMM backward
+    dwqkv_ref[...] += jax.lax.dot_general(
+        xn, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
+    dxn = jax.lax.dot_general(dqkv.astype(dt), wqkv_ref[...],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (T, C)
+
+    # ---- LayerNorm backward
+    xhat = (xf - mu) * inv
+    dlns_ref[0] += jnp.sum(dxn * xhat, axis=0)
+    dlnb_ref[0] += jnp.sum(dxn, axis=0)
+    dxhat = dxn * lns
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = inv * (dxhat - m1 - xhat * m2)
+    dx_ref[0] = _window_unpack(dx.astype(dx_ref.dtype), ws, nw, cw, c)
+
+
+# ------------------------------------------------------------- dispatch
+def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                          bias, window_size: int, num_heads: int, scale: float,
+                          interpret: bool = False):
+    """Fused LN1+qkv+window-attention+proj branch; XLA fallback off-TPU.
+
+    Args:
+      x: (B, H, W, C) feature map, already shifted for SW-MSA.
+      ln_scale, ln_bias: (C,) LayerNorm affine.
+      wqkv: (C, 3C); bqkv: (3C,); wproj: (C, C); bproj: (C,).
+      bias: (nWb, heads, n, n) rel-pos bias (+ shift mask), nWb in {1, nW}.
+    Returns: (B, H, W, C) — the attention branch WITHOUT the residual.
+    """
+    if not interpret and jax.default_backend() not in ('tpu',):
+        return reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
+                                         wproj, bproj, bias, window_size,
+                                         num_heads, scale)
+    return _fused_block_vjp(window_size, num_heads, scale, interpret,
+                            x, ln_scale.astype(jnp.float32),
+                            ln_bias.astype(jnp.float32), wqkv, bqkv.astype(jnp.float32),
+                            wproj, bproj.astype(jnp.float32),
+                            bias.astype(jnp.float32))
+
+
+def _geometry(x, window_size):
+    b, h, w, c = x.shape
+    ws, n = window_size, window_size * window_size
+    pack = _pack_factor(n, w // ws)
+    cw = _chunk_cols(w, ws, pack, c, bwd=True)
+    return b, h, w, c, ws, n, pack, cw
+
+
+def _bias_block(bias_p_shape, num_heads, pn, ng_chunk, w_chunks, order):
+    """BlockSpec for the packed bias under a 3D grid.
+
+    order='fwd' -> grid (b, j, wc); order='bwd' -> grid (j, wc, b)."""
+    from jax.experimental import pallas as pl
+    broadcast = bias_p_shape[0] == 1
+    if broadcast:
+        return pl.BlockSpec((1, num_heads, pn, pn), lambda *_: (0, 0, 0, 0)), True
+    if order == 'fwd':
+        return pl.BlockSpec((ng_chunk, num_heads, pn, pn),
+                            lambda bi, j, wc: (j * w_chunks + wc, 0, 0, 0)), False
+    return pl.BlockSpec((ng_chunk, num_heads, pn, pn),
+                        lambda j, wc, bi: (j * w_chunks + wc, 0, 0, 0)), False
+
+
+def _const_spec(shape, ndim_grid=3):
+    from jax.experimental import pallas as pl
+    return pl.BlockSpec(shape, lambda *_: (0,) * len(shape))
+
+
+def _fused_block_forward(window_size, num_heads, scale, interpret, x,
+                         ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias):
+    from jax.experimental import pallas as pl
+
+    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size)
+    w_chunks = w // cw
+    ng, pn = (cw // ws) // pack, pack * n
+    bias_p = _pack_bias(bias, pack, n)
+    bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn, ng,
+                                            w_chunks, 'fwd')
+    kernel = functools.partial(_block_fwd_kernel, ws=ws, num_heads=num_heads,
+                               c=c, scale=scale, broadcast_bias=broadcast_bias,
+                               pack=pack)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, h // ws, w_chunks),
+        in_specs=[
+            pl.BlockSpec((1, ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
+            _const_spec((1, c)), _const_spec((1, c)),
+            _const_spec((c, 3 * c)), _const_spec((1, 3 * c)),
+            _const_spec((c, c)), _const_spec((1, c)),
+            bias_spec,
+        ],
+        out_specs=pl.BlockSpec((1, ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
+        interpret=interpret,
+    )(x, ln_scale[None], ln_bias[None], wqkv.astype(x.dtype), bqkv[None],
+      wproj.astype(x.dtype), bproj[None], bias_p)
+
+
+def _fused_block_backward(window_size, num_heads, scale, interpret, x,
+                          ln_scale, ln_bias, wqkv, bqkv, wproj, bias, dz):
+    from jax.experimental import pallas as pl
+
+    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size)
+    w_chunks = w // cw
+    ng, pn = (cw // ws) // pack, pack * n
+    bias_p = _pack_bias(bias, pack, n)
+    bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn, ng,
+                                            w_chunks, 'bwd')
+    kernel = functools.partial(_block_bwd_kernel, ws=ws, num_heads=num_heads,
+                               c=c, scale=scale, broadcast_bias=broadcast_bias,
+                               pack=pack)
+    strip = pl.BlockSpec((1, ws, cw, c), lambda j, wc, bi: (bi, j, wc, 0))
+    f32 = jnp.float32
+    dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias_p = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((c, 3 * c), f32),
+                   jax.ShapeDtypeStruct((1, 3 * c), f32),
+                   jax.ShapeDtypeStruct((c, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct(bias_p.shape, f32)),
+        grid=(h // ws, w_chunks, b),
+        in_specs=[
+            strip,
+            _const_spec((1, c)), _const_spec((1, c)),
+            _const_spec((c, 3 * c)), _const_spec((1, 3 * c)),
+            _const_spec((c, c)),
+            bias_spec,
+            strip,
+        ],
+        out_specs=(strip,
+                   _const_spec((1, c)), _const_spec((1, c)),
+                   _const_spec((c, 3 * c)), _const_spec((1, 3 * c)),
+                   _const_spec((c, c)), _const_spec((1, c)),
+                   bias_spec),
+        interpret=interpret,
+    )(x, ln_scale[None], ln_bias[None], wqkv.astype(x.dtype), bqkv[None],
+      wproj.astype(x.dtype), bias_p, dz)
+    dbias = _unpack_dbias(dbias_p, pack, n, bias.shape[0])
+    return (dx, dlns[0], dlnb[0], dwqkv.astype(wqkv.dtype), dbqkv[0],
+            dwproj.astype(wproj.dtype), dbproj[0], dbias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_block_vjp(window_size, num_heads, scale, interpret, x, ln_scale,
+                     ln_bias, wqkv, bqkv, wproj, bproj, bias):
+    return _fused_block_forward(window_size, num_heads, scale, interpret, x,
+                                ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                                bias)
+
+
+def _vjp_fwd(window_size, num_heads, scale, interpret, x, ln_scale, ln_bias,
+             wqkv, bqkv, wproj, bproj, bias):
+    out = _fused_block_forward(window_size, num_heads, scale, interpret, x,
+                               ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                               bias)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bias)
+
+
+def _vjp_bwd(window_size, num_heads, scale, interpret, res, dz):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bias = res
+    dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias = _fused_block_backward(
+        window_size, num_heads, scale, interpret, x, ln_scale, ln_bias, wqkv,
+        bqkv, wproj, bias, dz.astype(x.dtype))
+    return dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias
+
+
+_fused_block_vjp.defvjp(_vjp_fwd, _vjp_bwd)

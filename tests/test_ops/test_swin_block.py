@@ -1,0 +1,71 @@
+"""Fused Swin block kernel (LN1+qkv+attention+proj) vs the XLA reference —
+forward and full VJP (x, LN affine, weights, biases, attention bias), in
+interpret mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basicsr4rs_tpu.ops.swin_block import (fused_swin_attn_block,
+                                           reference_swin_attn_block)
+
+
+def _case(b=2, h=16, w=16, c=12, heads=3, ws=4, nwb=1, seed=0):
+    rng = np.random.RandomState(seed)
+    n = ws * ws
+    return dict(
+        x=jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)),
+        ln_scale=jnp.asarray(1 + 0.1 * rng.randn(c).astype(np.float32)),
+        ln_bias=jnp.asarray(0.1 * rng.randn(c).astype(np.float32)),
+        wqkv=jnp.asarray(rng.randn(c, 3 * c).astype(np.float32) * 0.2),
+        bqkv=jnp.asarray(0.1 * rng.randn(3 * c).astype(np.float32)),
+        wproj=jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.2),
+        bproj=jnp.asarray(0.1 * rng.randn(c).astype(np.float32)),
+        bias=jnp.asarray(rng.randn(nwb, heads, n, n).astype(np.float32)),
+    )
+
+
+ARGNAMES = ('x', 'ln_scale', 'ln_bias', 'wqkv', 'bqkv', 'wproj', 'bproj', 'bias')
+
+
+@pytest.mark.parametrize('nwb', [1, 16])
+def test_forward_matches_reference(nwb):
+    kw = _case(nwb=nwb, seed=nwb)
+    args = [kw[k] for k in ARGNAMES]
+    want = reference_swin_attn_block(*args, 4, 3, 0.37)
+    got = fused_swin_attn_block(*args, 4, 3, 0.37, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize('nwb', [1, 16])
+def test_vjp_matches_reference_grads(nwb):
+    kw = _case(nwb=nwb, seed=10 + nwb)
+    args = [kw[k] for k in ARGNAMES]
+
+    def loss_fused(*a):
+        out = fused_swin_attn_block(*a, 4, 3, 0.37, interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_ref(*a):
+        out = reference_swin_attn_block(*a, 4, 3, 0.37)
+        return jnp.sum(out * jnp.sin(out))
+
+    g_f = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for name, a, b in zip(ARGNAMES, g_f, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max() + 1e-6
+        err = np.abs(a - b).max() / denom
+        assert err < 2e-4, f'grad mismatch for {name}: rel-err {err:.2e}'
+
+
+def test_wide_input_uses_w_chunking():
+    """W large enough to trigger multiple W-chunks in the kernel grid."""
+    kw = _case(b=1, h=8, w=64, c=8, heads=2, ws=4, nwb=1, seed=3)
+    args = [kw[k] for k in ARGNAMES]
+    want = reference_swin_attn_block(*args, 4, 2, 0.5)
+    got = fused_swin_attn_block(*args, 4, 2, 0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
