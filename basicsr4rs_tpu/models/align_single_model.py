@@ -65,7 +65,7 @@ class AlignSingleModel(L2SSingleModel):
         return jnp.zeros((1, 24, 24, num_in_ch), jnp.float32)
 
     def _loss_terms(self, params, batch, stats=None):
-        output, new_stats = self._apply_net_g(params, batch['reg_input'], stats, train=True)
+        output, new_stats, _ = self._apply_net_g(params, batch['reg_input'], stats, train=True)
         stage1, stage2 = output['stage1'], output['stage2']
         # the reference's quirky 1x1-with-padding conv grows spatial dims by 2
         # per AlignNet; crop back to the target grids before the losses.

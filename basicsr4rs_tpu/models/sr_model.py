@@ -87,6 +87,8 @@ class SRModel(BaseModel):
     def init_training_settings(self):
         train_opt = self.opt['train']
         self.ema_decay = train_opt.get('ema_decay', 0)
+        # debug flag: surface mean |offset| of every DCN site in log_dict
+        self._log_dcn_offset = bool(train_opt.get('log_dcn_offset', False))
         logger = get_root_logger()
         if self.ema_decay > 0:
             logger.info(f'Use Exponential Moving Average with decay: {self.ema_decay}')
@@ -121,21 +123,28 @@ class SRModel(BaseModel):
 
     def _apply_net_g(self, params, x, stats=None, train=False):
         """Forward through net_g, threading batch_stats when present.
-        Returns (output, new_stats)."""
+        Returns (output, new_stats, diagnostics). ``diagnostics`` is the
+        sown 'diagnostics' collection (DCN offset magnitudes — the in-graph
+        replacement for the reference's offset-overflow warning,
+        arch_util.py:253-256) when ``train.log_dcn_offset`` is set, else None."""
         variables = {'params': params}
         kwargs = {'train': train} if (self._net_accepts_train and train is not None) else {}
+        mutable = []
         if stats:
             variables['batch_stats'] = stats
             if train:
-                out, updates = self.net_g.apply(variables, x, mutable=['batch_stats'], **kwargs)
-                return out, updates.get('batch_stats', stats)
-            return self.net_g.apply(variables, x, **kwargs), stats
-        return self.net_g.apply(variables, x, **kwargs), stats
+                mutable.append('batch_stats')
+        if train and getattr(self, '_log_dcn_offset', False):
+            mutable.append('diagnostics')
+        if mutable:
+            out, updates = self.net_g.apply(variables, x, mutable=mutable, **kwargs)
+            return out, updates.get('batch_stats', stats), updates.get('diagnostics')
+        return self.net_g.apply(variables, x, **kwargs), stats, None
 
     def _loss_terms(self, params, batch, stats=None):
         """Forward + losses; shared by subclasses overriding the step.
         Returns (total, (losses, output, new_stats))."""
-        output, new_stats = self._apply_net_g(params, batch['lq'], stats, train=True)
+        output, new_stats, diag = self._apply_net_g(params, batch['lq'], stats, train=True)
         losses = OrderedDict()
         total = 0.0
         if self.cri_pix is not None:
@@ -150,6 +159,11 @@ class SRModel(BaseModel):
             if l_style is not None:
                 losses['l_style'] = l_style
                 total = total + l_style
+        if diag:
+            # max over all DCN sites — the statistic the reference's >50
+            # offset-overflow warning keys on (arch_util.py:253-256)
+            losses['dcn_offset_abs_mean'] = jnp.max(
+                jnp.stack(jax.tree_util.tree_leaves(diag)))
         return total, (losses, output, new_stats)
 
     def _postprocess_updates(self, updates, params, step):

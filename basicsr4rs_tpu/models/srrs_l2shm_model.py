@@ -45,7 +45,7 @@ class L2SSingleHMModel(SRRSModel):
         return val_data['img_name'][0]
 
     def _loss_terms(self, params, batch, stats=None):
-        result, new_stats = self._apply_net_g(params, batch['lq'], stats, train=True)
+        result, new_stats, _ = self._apply_net_g(params, batch['lq'], stats, train=True)
         out_hm, out_gt = result['hm'], result['gt']
 
         losses = OrderedDict()

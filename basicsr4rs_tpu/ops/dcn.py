@@ -179,6 +179,10 @@ class DCNv2Pack(ModulatedDeformConvPack):
         offset = jnp.concatenate((o1, o2), axis=-1)
         mask = jax.nn.sigmoid(mask)
         # The reference warns when mean |offset| > 50 (arch_util.py:253-256);
-        # host-side warning is incompatible with jit — callers can inspect
-        # offsets via intermediates if needed.
+        # a host-side warning is incompatible with jit, so the in-graph
+        # replacement is a sown diagnostic: a no-op unless the caller applies
+        # with mutable=['diagnostics'] (models expose it behind
+        # train.log_dcn_offset and surface the max over all DCN sites).
+        self.sow('diagnostics', 'dcn_offset_abs_mean',
+                 jnp.abs(offset).mean().astype(jnp.float32))
         return self._dcn(x, offset, mask)

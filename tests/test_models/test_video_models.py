@@ -186,3 +186,51 @@ val:
     tsa1 = np.asarray(model.state.params['fusion']['temporal_attn1']['kernel'])
     np.testing.assert_array_equal(first0, first1)  # frozen during TSA warmup
     assert not np.allclose(tsa0, tsa1)             # TSA trains
+
+
+def test_edvr_dcn_offset_diagnostic():
+    """train.log_dcn_offset surfaces max mean|offset| over all DCN sites in
+    log_dict — the in-graph replacement for the reference's offset-overflow
+    warning (arch_util.py:253-256)."""
+    opt = yaml_load("""
+name: test_edvr_diag
+model_type: EDVRModel
+scale: 4
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+network_g: {type: EDVR, num_feat: 8, num_frame: 5, deformable_groups: 2,
+            num_extract_block: 1, num_reconstruct_block: 1, with_tsa: false}
+path: {pretrain_network_g: ~}
+train:
+  ema_decay: 0
+  log_dcn_offset: true
+  optim_g: {type: Adam, lr: !!float 1e-3}
+  scheduler: {type: ConstantLR}
+  total_iter: 100
+  pixel_opt: {type: CharbonnierLoss, loss_weight: 1.0, reduction: mean}
+val: {val_freq: 100, metrics: {psnr: {type: calculate_psnr, crop_border: 0}}}
+""")
+    model = build_model(opt)
+    rng = np.random.RandomState(0)
+    batch = {'lq': rng.rand(1, 5, 16, 16, 3).astype(np.float32),
+             'gt': rng.rand(1, 64, 64, 3).astype(np.float32)}
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    log = model.get_current_log()
+    assert 'dcn_offset_abs_mean' in log
+    val = float(log['dcn_offset_abs_mean'])
+    assert np.isfinite(val) and val >= 0
+
+    # flag off (default): diagnostic absent, step unaffected
+    import copy
+    opt2 = copy.deepcopy(opt)
+    opt2['name'] = 'test_edvr_nodiag'
+    del opt2['train']['log_dcn_offset']
+    model2 = build_model(opt2)
+    model2.feed_data(batch)
+    model2.optimize_parameters(1)
+    assert 'dcn_offset_abs_mean' not in model2.get_current_log()
