@@ -50,9 +50,11 @@ class _SynthesisMixin:
 
     def feed_data(self, data):
         if self.is_train and self.opt.get('high_order_degradation', True) and 'gt' in data and 'kernel1' in data:
-            gt = np.asarray(data['gt'])
+            # accept host numpy OR already-device arrays (device prefetcher);
+            # np.shape avoids the D2H fetch np.asarray would force
+            gt = data['gt']
             if self._synth_fn is None:
-                self._build_synth(gt.shape)
+                self._build_synth(np.shape(gt))
             self.synth_rng, key = jax.random.split(self.synth_rng)
             self.pool_state, lq, gt_c, gt_usm = self._synth_fn(
                 key, self.pool_state, jnp.asarray(gt), jnp.asarray(data['kernel1']),
