@@ -2,12 +2,25 @@
 
 Replaces the reference's hand-written CUDA extension
 (reference: basicsr/ops/dcn/src/deform_conv_cuda_kernel.cu:191-696 and the
-autograd wrappers in ops/dcn/deform_conv.py:121-374). Instead of translating
-the im2col/col2im kernels, the op is expressed as K*K bilinear gathers +
-one contraction: XLA lowers the gathers to TPU-friendly dynamic-slices and
-autodiff produces the input/offset/mask/weight gradients (the scatter-add
-col2im of the reference) for free. A Pallas fused version can slot in behind
-the same API later.
+autograd wrappers in ops/dcn/deform_conv.py:121-374). Two interchangeable
+bilinear samplers sit behind one API:
+
+- **one-hot matmul** (TPU default): per-pixel bilinear sampling is two
+  separable interpolations — a row-interpolation matrix ``R (P, H)`` with two
+  nonzeros per row applied on the MXU (``R @ X``), then a column
+  interpolation as a small VPU reduction. No gather, no scatter: forward AND
+  backward (autodiff: more matmuls) stay on the matrix unit. XLA's gather /
+  scatter-add lowering on TPU is near-serial for small slices — measured
+  78 ms fwd / 11 s fwd+bwd at EDVR sizes vs ~ms for this formulation.
+- **patch gather** (CPU default): one ``lax.gather`` per tap fetching 2x2
+  bilinear patches — on CPU backends gathers are memcpy-cheap and the
+  one-hot matmul's O(P*H*W*C) FLOPs would be the slow path.
+
+Autodiff produces the input/offset/mask/weight gradients (the scatter-add
+col2im of the reference) for free in both formulations; for the one-hot path
+the offset gradient flows through the interpolation weights, which is exactly
+the analytic bilinear gradient. A Pallas fused sampler can slot in behind the
+same API later.
 
 Layout: NHWC activations, HWIO weights. Offset/mask channel semantics match
 torch exactly — offset channels ``g*(2*K*K) + 2*k + {0: dy, 1: dx}``, mask
@@ -31,8 +44,9 @@ def _bilinear_gather_padded(xp: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -
     (N, Ho, Wo) given in unpadded coordinates; zeros outside.
 
     One ``lax.gather`` per call fetching the whole 2x2 bilinear patch —
-    TPU gather cost is per-index, so this is ~4x cheaper than gathering the
-    four corners separately (measured 0.98 vs 3.4 ms at EDVR sizes)."""
+    gather cost is per-index, so this is ~4x cheaper than gathering the four
+    corners separately. Fast on CPU; on TPU XLA lowers it near-serially
+    (use the one-hot sampler there — see scripts/bench_dcn.py)."""
     n, hp, wp, c = xp.shape
     h, w = hp - 2, wp - 2
     y0 = jnp.floor(py)
@@ -60,6 +74,48 @@ def _bilinear_gather_padded(xp: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -
     return (top * (1 - wy) + bot * wy) * inside.astype(xp.dtype)
 
 
+def _bilinear_onehot_padded(xp: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarray:
+    """Same contract as :func:`_bilinear_gather_padded`, expressed as two
+    separable one-hot interpolations so all the work lands on the MXU/VPU.
+
+    ``R[p, h] = (1-fy)*1{h==y0} + fy*1{h==y0+1}`` selects-and-interpolates
+    rows via one batched matmul ``T = R @ X``; the column interpolation is the
+    analogous two-nonzero reduction over ``T``. The zero pad ring supplies
+    border zeros and ``inside`` kills fully-outside samples — bit-identical
+    to the gather path under exact f32 arithmetic (on TPU the matmul runs at
+    the platform's default precision, like every conv in the framework).
+    """
+    n, hp, wp, c = xp.shape
+    h, w = hp - 2, wp - 2
+    ho, wo = py.shape[1:]
+    p = ho * wo
+    py = py.reshape(n, p)
+    px = px.reshape(n, p)
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    fy = (py - y0)[..., None].astype(xp.dtype)
+    fx = (px - x0)[..., None].astype(xp.dtype)
+    iy = jnp.clip(y0 + 1, 0, hp - 2).astype(jnp.int32)[..., None]
+    ix = jnp.clip(x0 + 1, 0, wp - 2).astype(jnp.int32)[..., None]
+    inside = ((py > -1) & (py < h) & (px > -1) & (px < w))[..., None]
+
+    hh = jnp.arange(hp, dtype=jnp.int32)
+    rsel = ((hh == iy).astype(xp.dtype) * (1 - fy)
+            + (hh == iy + 1).astype(xp.dtype) * fy)        # (n, p, hp)
+    t = jnp.einsum('gph,ghwc->gpwc', rsel, xp)             # MXU row interp
+    wwv = jnp.arange(wp, dtype=jnp.int32)
+    csel = ((wwv == ix).astype(xp.dtype) * (1 - fx)
+            + (wwv == ix + 1).astype(xp.dtype) * fx)       # (n, p, wp)
+    out = jnp.einsum('gpw,gpwc->gpc', csel, t)             # VPU col interp
+    return (out * inside.astype(xp.dtype)).reshape(n, ho, wo, c)
+
+
+def _sampler(method: str):
+    if method == 'auto':
+        method = 'gather' if jax.default_backend() == 'cpu' else 'onehot'
+    return _bilinear_onehot_padded if method == 'onehot' else _bilinear_gather_padded
+
+
 def modulated_deform_conv(x: jnp.ndarray,
                           offset: jnp.ndarray,
                           mask: Optional[jnp.ndarray],
@@ -69,7 +125,8 @@ def modulated_deform_conv(x: jnp.ndarray,
                           padding: int = 1,
                           dilation: int = 1,
                           groups: int = 1,
-                          deform_groups: int = 1) -> jnp.ndarray:
+                          deform_groups: int = 1,
+                          method: str = 'auto') -> jnp.ndarray:
     """DCNv2 forward (v1 when ``mask`` is None).
 
     Args:
@@ -77,6 +134,9 @@ def modulated_deform_conv(x: jnp.ndarray,
         offset: (N, Ho, Wo, 2*dg*kh*kw), torch channel layout.
         mask: (N, Ho, Wo, dg*kh*kw) in [0, 1], or None.
         weight: (kh, kw, Cin//groups, Cout).
+        method: 'onehot' (MXU one-hot matmul sampling), 'gather'
+            (lax.gather 2x2 patches), or 'auto' (gather on CPU, onehot
+            elsewhere — gathers/scatters are near-serial on TPU).
     """
     n, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
@@ -96,29 +156,29 @@ def modulated_deform_conv(x: jnp.ndarray,
     # zero ring once: supplies exact zeros for border-adjacent samples
     xg_pad = jnp.pad(xg, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    # sampled[k] per group -> (N, Ho, Wo, dg, cpg); static K*K loop.
-    columns = []
+    # per-tap sample + accumulate into the output: the (N, Ho, Wo, K*K, Cin)
+    # column tensor of an im2col formulation never materializes (~1/3 less
+    # HBM traffic); static K*K loop.
+    sample = _sampler(method)
+    cig = cin // groups
+    cog = cout // groups
+    wk = weight.reshape(kh * kw, cig, cout)
+    wg = weight.reshape(kh * kw, cig, groups, cog) if groups > 1 else None
+    out = jnp.zeros((n, ho, wo, cout), x.dtype)
     for k in range(kh * kw):
         i, j = divmod(k, kw)
-        # gather per deform group: fold dg into batch for one vectorized gather
+        # sample per deform group: fold dg into batch for one vectorized call
         py = (base_y[None, None] + i * dilation + off[..., k, 0].transpose(0, 3, 1, 2)).reshape(n * dg, ho, wo)
         px = (base_x[None, None] + j * dilation + off[..., k, 1].transpose(0, 3, 1, 2)).reshape(n * dg, ho, wo)
-        sampled = _bilinear_gather_padded(xg_pad, py, px).reshape(n, dg, ho, wo, cpg)
+        sampled = sample(xg_pad, py, px).reshape(n, dg, ho, wo, cpg)
         sampled = sampled.transpose(0, 2, 3, 1, 4)  # (N, Ho, Wo, dg, cpg)
         if msk is not None:
             sampled = sampled * msk[..., k][..., None]
-        columns.append(sampled.reshape(n, ho, wo, cin))
-
-    patches = jnp.stack(columns, axis=3)  # (N, Ho, Wo, K*K, Cin)
-    wk = weight.reshape(kh * kw, cin // groups, cout)
-    if groups == 1:
-        out = jnp.einsum('nhwkc,kco->nhwo', patches, wk)
-    else:
-        cig = cin // groups
-        cog = cout // groups
-        p = patches.reshape(n, ho, wo, kh * kw, groups, cig)
-        wg = weight.reshape(kh, kw, cig, groups, cog).reshape(kh * kw, cig, groups, cog)
-        out = jnp.einsum('nhwkgc,kcgo->nhwgo', p, wg).reshape(n, ho, wo, cout)
+        if groups == 1:
+            out = out + jnp.einsum('nhwc,co->nhwo', sampled.reshape(n, ho, wo, cin), wk[k])
+        else:
+            s = sampled.reshape(n, ho, wo, groups, cig)
+            out = out + jnp.einsum('nhwgc,cgo->nhwgo', s, wg[k]).reshape(n, ho, wo, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

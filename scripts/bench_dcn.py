@@ -64,16 +64,29 @@ def main():
     mask = jnp.asarray(rng.rand(n, h, w, dg * k * k).astype(np.float32))
     weight = jnp.asarray((rng.rand(k, k, c, c) * 0.1).astype(np.float32))
 
-    fwd = jax.jit(functools.partial(modulated_deform_conv, deform_groups=dg))
+    def make(method):
+        fwd = jax.jit(functools.partial(modulated_deform_conv, deform_groups=dg,
+                                        method=method))
 
-    def loss(x, offset, mask, weight):
-        return jnp.sum(modulated_deform_conv(x, offset, mask, weight,
-                                             deform_groups=dg) ** 2)
+        def loss(x, offset, mask, weight):
+            return jnp.sum(modulated_deform_conv(x, offset, mask, weight,
+                                                 deform_groups=dg, method=method) ** 2)
 
-    bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+        return fwd, jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
 
-    t_fwd = timeit(fwd, x, offset, mask, weight, iters=args.iters)
-    t_bwd = timeit(bwd, x, offset, mask, weight, iters=args.iters)
+    fwd_one, bwd_one = make('onehot')
+    fwd_gat, bwd_gat = make('gather')
+
+    # bf16 activations + weights (training compute-policy case)
+    x16 = x.astype(jnp.bfloat16)
+    w16 = weight.astype(jnp.bfloat16)
+    m16 = mask.astype(jnp.bfloat16)
+
+    t_fwd = timeit(fwd_one, x, offset, mask, weight, iters=args.iters)
+    t_bwd = timeit(bwd_one, x, offset, mask, weight, iters=args.iters)
+    t_fwd_gather = timeit(fwd_gat, x, offset, mask, weight, iters=max(args.iters // 5, 2))
+    t_bwd_gather = timeit(bwd_gat, x, offset, mask, weight, iters=2)
+    t_bf16 = timeit(fwd_one, x16, offset, m16, w16, iters=args.iters)
 
     # roofline: gather traffic (K*K gathers x 2x2 patches) + column write/read
     patch_bytes = n * h * w * k * k * 4 * c * 4            # 2x2 patches read
@@ -89,6 +102,9 @@ def main():
         'shape': f'{n}x{h}x{w}x{c} dg{dg} k{k}',
         'fwd_ms': round(t_fwd * 1e3, 3),
         'fwd_bwd_ms': round(t_bwd * 1e3, 3),
+        'fwd_gather_ms': round(t_fwd_gather * 1e3, 3),
+        'fwd_bwd_gather_ms': round(t_bwd_gather * 1e3, 3),
+        'fwd_bf16_ms': round(t_bf16 * 1e3, 3),
         'roofline_mem_ms': round(t_mem * 1e3, 3),
         'roofline_mxu_ms': round(t_mxu * 1e3, 4),
         'pct_of_mem_roofline': round(100 * t_mem / t_fwd, 1),

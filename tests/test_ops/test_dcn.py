@@ -122,6 +122,35 @@ def test_dcnv2pack_module():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref + b * 0 + b), atol=1e-5)
 
 
+@pytest.mark.parametrize('dg', [1, 2])
+def test_onehot_sampler_matches_gather(dg):
+    """The TPU one-hot matmul formulation must equal the gather formulation
+    (same bilinear weights, same zero-pad border semantics) — fwd and grads."""
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(2, 7, 9, 4).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 4, 6).astype(np.float32))
+    # large offsets push samples off the border to hit the outside-mask path
+    offset = jnp.asarray(rng.randn(2, 7, 9, 2 * dg * 9).astype(np.float32) * 3.0)
+    mask = jnp.asarray(rng.rand(2, 7, 9, dg * 9).astype(np.float32))
+
+    def run(method):
+        return modulated_deform_conv(x, offset, mask, w, None,
+                                     deform_groups=dg, method=method)
+
+    np.testing.assert_allclose(np.asarray(run('onehot')), np.asarray(run('gather')),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(method, x, offset, mask, w):
+        return jnp.sum(modulated_deform_conv(x, offset, mask, w, None,
+                                             deform_groups=dg, method=method) ** 2)
+
+    g_one = jax.grad(lambda *a: loss('onehot', *a), argnums=(0, 1, 2, 3))(x, offset, mask, w)
+    g_gat = jax.grad(lambda *a: loss('gather', *a), argnums=(0, 1, 2, 3))(x, offset, mask, w)
+    for a, b, name in zip(g_one, g_gat, ['x', 'offset', 'mask', 'weight']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                                   err_msg=f'{name} grad mismatch')
+
+
 def test_modulated_pack_module():
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.rand(2, 8, 8, 4).astype(np.float32))
