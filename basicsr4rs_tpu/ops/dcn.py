@@ -29,6 +29,7 @@ channels ``g*K*K + k`` — so converted checkpoints behave identically.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional, Tuple
 
@@ -116,6 +117,176 @@ def _sampler(method: str):
     return _bilinear_onehot_padded if method == 'onehot' else _bilinear_gather_padded
 
 
+# ---------------------------------------------------------------------------
+# Pallas fused sampler: all K*K taps per 128-pixel tile with the feature slab
+# resident in VMEM. Bilinear weights are hat functions relu(1 - |pos - idx|),
+# which — together with the zero pad ring — reproduce zero-padding border
+# semantics with no clipping or inside-mask at all. Row interpolation is an
+# MXU matmul (R @ X), column interpolation a VPU product reduced back to
+# channels by a 0/1 matmul. Replaces the reference im2col CUDA kernel
+# (deform_conv_cuda_kernel.cu:191) at ~matmul speed; see scripts/bench_dcn.py.
+# ---------------------------------------------------------------------------
+
+_BP = 128  # pixels per tile (sublane-major in every block)
+
+
+def _dcn_pallas_fwd_kernel(k2: int, cpg: int):
+    def kernel(x_ref, pos_ref, out_ref):
+        x = x_ref[0].astype(jnp.float32)                     # (HP, WC)
+        hp, wc = x.shape
+        h_iota = jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1).astype(jnp.float32)
+        w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (_BP, wc), 1)
+                     // cpg).astype(jnp.float32)
+        # 0/1 fold matrix: lane l contributes to channel l % cpg
+        sfold = (jax.lax.broadcasted_iota(jnp.int32, (wc, cpg), 0) % cpg ==
+                 jax.lax.broadcasted_iota(jnp.int32, (wc, cpg), 1)).astype(jnp.float32)
+        for k in range(k2):
+            pyy = pos_ref[0, :, 2 * k:2 * k + 1].astype(jnp.float32)      # (BP, 1)
+            pxx = pos_ref[0, :, 2 * k + 1:2 * k + 2].astype(jnp.float32)
+            r = jnp.maximum(0., 1. - jnp.abs(h_iota - pyy))               # (BP, HP)
+            t = jnp.dot(r, x, preferred_element_type=jnp.float32)         # (BP, WC)
+            cw = jnp.maximum(0., 1. - jnp.abs(w_of_lane - pxx))
+            tap = jnp.dot(t * cw, sfold, preferred_element_type=jnp.float32)
+            out_ref[0, k] = tap.T.astype(out_ref.dtype)                   # (cpg, BP)
+
+    return kernel
+
+
+def _dcn_pallas_bwd_kernel(k2: int, cpg: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, xt_ref, pos_ref, g_ref, dx_ref, dpos_ref):
+        x = x_ref[0].astype(jnp.float32)                     # (HP, WC)
+        xt = xt_ref[0].astype(jnp.float32)                   # (WC, HP)
+        hp, wc = x.shape
+        h_iota = jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1).astype(jnp.float32)
+        w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (_BP, wc), 1)
+                     // cpg).astype(jnp.float32)
+        sfold_t = (jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 1) % cpg ==
+                   jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 0)).astype(jnp.float32)
+        dx_acc = jnp.zeros((hp, wc), jnp.float32)
+        for k in range(k2):
+            pyy = pos_ref[0, :, 2 * k:2 * k + 1].astype(jnp.float32)
+            pxx = pos_ref[0, :, 2 * k + 1:2 * k + 2].astype(jnp.float32)
+            dy = h_iota - pyy
+            r = jnp.maximum(0., 1. - jnp.abs(dy))                         # (BP, HP)
+            t = jnp.dot(r, x, preferred_element_type=jnp.float32)         # (BP, WC)
+            dw = w_of_lane - pxx
+            cw = jnp.maximum(0., 1. - jnp.abs(dw))
+            dtap = g_ref[0, k].astype(jnp.float32).T                      # (BP, cpg)
+            dprod = jnp.dot(dtap, sfold_t, preferred_element_type=jnp.float32)  # (BP, WC)
+            dt = dprod * cw
+            dcw = dprod * t
+            dx_acc = dx_acc + jnp.dot(r.T, dt, preferred_element_type=jnp.float32)
+            dr = jnp.dot(dt, xt, preferred_element_type=jnp.float32)      # (BP, HP)
+            # d hat(d)/d pos = sign(d) on the open support |d| < 1
+            gy = jnp.where(jnp.abs(dy) < 1., jnp.sign(dy), 0.)
+            gx = jnp.where(jnp.abs(dw) < 1., jnp.sign(dw), 0.)
+            dpos_ref[0, :, 2 * k:2 * k + 1] = jnp.sum(
+                dr * gy, axis=1, keepdims=True).astype(dpos_ref.dtype)
+            dpos_ref[0, :, 2 * k + 1:2 * k + 2] = jnp.sum(
+                dcw * gx, axis=1, keepdims=True).astype(dpos_ref.dtype)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dx_ref[0] = dx_acc.astype(dx_ref.dtype)
+
+        @pl.when(pl.program_id(1) != 0)
+        def _():
+            dx_ref[0] = dx_ref[0] + dx_acc.astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _pallas_pack(xg_pad, pos, k2, cpg):
+    """Shared shape plumbing for the fwd/bwd pallas calls. Returns padded
+    operands plus the grid/block machinery inputs."""
+    g, hp, wp, _ = xg_pad.shape
+    p = pos.shape[1]
+    hp_pad = -(-hp // 8) * 8
+    wc = wp * cpg
+    wc_pad = -(-wc // 128) * 128
+    p_pad = -(-p // _BP) * _BP
+    x2 = jnp.pad(xg_pad.reshape(g, hp, wc),
+                 ((0, 0), (0, hp_pad - hp), (0, wc_pad - wc)))
+    # out-of-support position: hat weight is zero everywhere
+    pos_p = jnp.pad(pos, ((0, 0), (0, p_pad - p), (0, 0)),
+                    constant_values=-10.0)
+    return x2, pos_p, hp_pad, wc_pad, p_pad
+
+
+def _sample_all_pallas_impl(xg_pad, pos, interpret=False):
+    from jax.experimental import pallas as pl
+
+    g, hp, wp, cpg = xg_pad.shape
+    p, k2 = pos.shape[1], pos.shape[2] // 2
+    x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg)
+    out = pl.pallas_call(
+        _dcn_pallas_fwd_kernel(k2, cpg),
+        grid=(g, p_pad // _BP),
+        in_specs=[
+            pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
+            pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k2, cpg, _BP), lambda gi, pi: (gi, 0, 0, pi)),
+        out_shape=jax.ShapeDtypeStruct((g, k2, cpg, p_pad), xg_pad.dtype),
+        interpret=interpret,
+    )(x2, pos_p)
+    return out[..., :p]                                      # (G, K2, cpg, P)
+
+
+def _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret=False):
+    from jax.experimental import pallas as pl
+
+    g, hp, wp, cpg = xg_pad.shape
+    p, k2 = pos.shape[1], pos.shape[2] // 2
+    x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg)
+    xt = jnp.swapaxes(x2, 1, 2)
+    grad_p = jnp.pad(grad.astype(xg_pad.dtype), ((0, 0), (0, 0), (0, 0), (0, p_pad - p)))
+    dx, dpos = pl.pallas_call(
+        _dcn_pallas_bwd_kernel(k2, cpg),
+        grid=(g, p_pad // _BP),
+        in_specs=[
+            pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
+            pl.BlockSpec((1, wc_pad, hp_pad), lambda gi, pi: (gi, 0, 0)),
+            pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
+            pl.BlockSpec((1, k2, cpg, _BP), lambda gi, pi: (gi, 0, 0, pi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
+            pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, hp_pad, wc_pad), xg_pad.dtype),
+            jax.ShapeDtypeStruct((g, p_pad, 2 * k2), pos.dtype),
+        ],
+        interpret=interpret,
+    )(x2, xt, pos_p, grad_p)
+    wc = wp * cpg
+    dx = dx[:, :hp, :wc].reshape(g, hp, wp, cpg)
+    return dx, dpos[:, :p]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sample_all_pallas(xg_pad, pos, interpret=False):
+    """Sample all K*K taps: xg_pad (G, Hp, Wp, cpg) zero-padded by 1, pos
+    (G, P, 2*K2) interleaved padded-coordinate (y, x) per tap. Returns
+    (G, K2, cpg, P)."""
+    return _sample_all_pallas_impl(xg_pad, pos, interpret)
+
+
+def _sample_all_pallas_fwd(xg_pad, pos, interpret):
+    return _sample_all_pallas_impl(xg_pad, pos, interpret), (xg_pad, pos)
+
+
+def _sample_all_pallas_bwd(interpret, res, grad):
+    xg_pad, pos = res
+    return _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret)
+
+
+_sample_all_pallas.defvjp(_sample_all_pallas_fwd, _sample_all_pallas_bwd)
+
+
 def modulated_deform_conv(x: jnp.ndarray,
                           offset: jnp.ndarray,
                           mask: Optional[jnp.ndarray],
@@ -134,9 +305,11 @@ def modulated_deform_conv(x: jnp.ndarray,
         offset: (N, Ho, Wo, 2*dg*kh*kw), torch channel layout.
         mask: (N, Ho, Wo, dg*kh*kw) in [0, 1], or None.
         weight: (kh, kw, Cin//groups, Cout).
-        method: 'onehot' (MXU one-hot matmul sampling), 'gather'
-            (lax.gather 2x2 patches), or 'auto' (gather on CPU, onehot
-            elsewhere — gathers/scatters are near-serial on TPU).
+        method: 'pallas' (fused VMEM-resident sampler, custom VJP),
+            'onehot' (MXU one-hot matmul sampling), 'gather' (lax.gather
+            2x2 patches), or 'auto' (gather on CPU; on TPU pallas when the
+            per-group feature slab fits VMEM, onehot otherwise —
+            gathers/scatters are near-serial on TPU).
     """
     n, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
@@ -156,10 +329,33 @@ def modulated_deform_conv(x: jnp.ndarray,
     # zero ring once: supplies exact zeros for border-adjacent samples
     xg_pad = jnp.pad(xg, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
+    if method == 'auto':
+        if jax.default_backend() == 'cpu':
+            method = 'gather'
+        else:
+            # per-group slab must fit VMEM for the fused kernel
+            slab = (-(-(h + 2) // 8) * 8) * (-(-((w + 2) * cpg) // 128) * 128) * 4
+            method = 'pallas' if slab <= 4 * 1024 * 1024 else 'onehot'
+
+    if method in ('pallas', 'pallas_interpret'):
+        # positions for every tap in padded coordinates, (G, P, 2*K2)
+        ki = jnp.asarray([dilation * (k // kw) for k in range(kh * kw)], jnp.float32)
+        kj = jnp.asarray([dilation * (k % kw) for k in range(kh * kw)], jnp.float32)
+        pyy = base_y[None, :, :, None, None] + ki + off[..., 0] + 1.0
+        pxx = base_x[None, :, :, None, None] + kj + off[..., 1] + 1.0
+        pos = jnp.stack([pyy, pxx], axis=-1)            # (n, ho, wo, dg, k2, 2)
+        pos = pos.transpose(0, 3, 1, 2, 4, 5).reshape(n * dg, ho * wo, 2 * kh * kw)
+        patches = _sample_all_pallas(xg_pad, pos.astype(jnp.float32),
+                                     method == 'pallas_interpret')
+        patches = patches.reshape(n, dg, kh * kw, cpg, ho, wo)
+        sample = None
+    else:
+        sample = _sampler(method)
+        patches = None
+
     # per-tap sample + accumulate into the output: the (N, Ho, Wo, K*K, Cin)
     # column tensor of an im2col formulation never materializes (~1/3 less
     # HBM traffic); static K*K loop.
-    sample = _sampler(method)
     cig = cin // groups
     cog = cout // groups
     wk = weight.reshape(kh * kw, cig, cout)
@@ -167,11 +363,14 @@ def modulated_deform_conv(x: jnp.ndarray,
     out = jnp.zeros((n, ho, wo, cout), x.dtype)
     for k in range(kh * kw):
         i, j = divmod(k, kw)
-        # sample per deform group: fold dg into batch for one vectorized call
-        py = (base_y[None, None] + i * dilation + off[..., k, 0].transpose(0, 3, 1, 2)).reshape(n * dg, ho, wo)
-        px = (base_x[None, None] + j * dilation + off[..., k, 1].transpose(0, 3, 1, 2)).reshape(n * dg, ho, wo)
-        sampled = sample(xg_pad, py, px).reshape(n, dg, ho, wo, cpg)
-        sampled = sampled.transpose(0, 2, 3, 1, 4)  # (N, Ho, Wo, dg, cpg)
+        if patches is not None:
+            sampled = patches[:, :, k].transpose(0, 3, 4, 1, 2).astype(x.dtype)
+        else:
+            # sample per deform group: fold dg into batch, one vectorized call
+            py = (base_y[None, None] + i * dilation + off[..., k, 0].transpose(0, 3, 1, 2)).reshape(n * dg, ho, wo)
+            px = (base_x[None, None] + j * dilation + off[..., k, 1].transpose(0, 3, 1, 2)).reshape(n * dg, ho, wo)
+            sampled = sample(xg_pad, py, px).reshape(n, dg, ho, wo, cpg)
+            sampled = sampled.transpose(0, 2, 3, 1, 4)  # (N, Ho, Wo, dg, cpg)
         if msk is not None:
             sampled = sampled * msk[..., k][..., None]
         if groups == 1:

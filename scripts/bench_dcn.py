@@ -74,19 +74,25 @@ def main():
 
         return fwd, jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
 
+    fwd_pal, bwd_pal = make('pallas')
     fwd_one, bwd_one = make('onehot')
-    fwd_gat, bwd_gat = make('gather')
 
     # bf16 activations + weights (training compute-policy case)
     x16 = x.astype(jnp.bfloat16)
     w16 = weight.astype(jnp.bfloat16)
     m16 = mask.astype(jnp.bfloat16)
 
-    t_fwd = timeit(fwd_one, x, offset, mask, weight, iters=args.iters)
-    t_bwd = timeit(bwd_one, x, offset, mask, weight, iters=args.iters)
-    t_fwd_gather = timeit(fwd_gat, x, offset, mask, weight, iters=max(args.iters // 5, 2))
-    t_bwd_gather = timeit(bwd_gat, x, offset, mask, weight, iters=2)
-    t_bf16 = timeit(fwd_one, x16, offset, m16, w16, iters=args.iters)
+    # numeric agreement of the fused kernel on the real chip (compiled Mosaic,
+    # not interpret mode) before timing it
+    ref = np.asarray(fwd_one(x, offset, mask, weight))
+    got = np.asarray(fwd_pal(x, offset, mask, weight))
+    err = float(np.max(np.abs(ref - got)) / (np.abs(ref).max() + 1e-8))
+
+    t_fwd = timeit(fwd_pal, x, offset, mask, weight, iters=args.iters)
+    t_bwd = timeit(bwd_pal, x, offset, mask, weight, iters=args.iters)
+    t_fwd_onehot = timeit(fwd_one, x, offset, mask, weight, iters=args.iters)
+    t_bwd_onehot = timeit(bwd_one, x, offset, mask, weight, iters=max(args.iters // 4, 2))
+    t_bf16 = timeit(fwd_pal, x16, offset, m16, w16, iters=args.iters)
 
     # roofline: gather traffic (K*K gathers x 2x2 patches) + column write/read
     patch_bytes = n * h * w * k * k * 4 * c * 4            # 2x2 patches read
@@ -102,9 +108,10 @@ def main():
         'shape': f'{n}x{h}x{w}x{c} dg{dg} k{k}',
         'fwd_ms': round(t_fwd * 1e3, 3),
         'fwd_bwd_ms': round(t_bwd * 1e3, 3),
-        'fwd_gather_ms': round(t_fwd_gather * 1e3, 3),
-        'fwd_bwd_gather_ms': round(t_bwd_gather * 1e3, 3),
+        'fwd_onehot_ms': round(t_fwd_onehot * 1e3, 3),
+        'fwd_bwd_onehot_ms': round(t_bwd_onehot * 1e3, 3),
         'fwd_bf16_ms': round(t_bf16 * 1e3, 3),
+        'pallas_vs_onehot_rel_err': round(err, 6),
         'roofline_mem_ms': round(t_mem * 1e3, 3),
         'roofline_mxu_ms': round(t_mxu * 1e3, 4),
         'pct_of_mem_roofline': round(100 * t_mem / t_fwd, 1),

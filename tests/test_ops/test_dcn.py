@@ -151,6 +151,37 @@ def test_onehot_sampler_matches_gather(dg):
                                    err_msg=f'{name} grad mismatch')
 
 
+@pytest.mark.parametrize('dg', [1, 2])
+def test_pallas_sampler_matches_gather(dg):
+    """The fused Pallas sampler (interpret mode on CPU) must equal the gather
+    formulation — fwd and grads — including unaligned shapes (P not a
+    multiple of 128, odd H/W) and off-border samples."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(2, 9, 11, 4).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 4, 6).astype(np.float32))
+    offset = jnp.asarray(rng.randn(2, 9, 11, 2 * dg * 9).astype(np.float32) * 3.0)
+    mask = jnp.asarray(rng.rand(2, 9, 11, dg * 9).astype(np.float32))
+
+    def run(method):
+        return modulated_deform_conv(x, offset, mask, w, None,
+                                     deform_groups=dg, method=method)
+
+    np.testing.assert_allclose(np.asarray(run('pallas_interpret')),
+                               np.asarray(run('gather')), rtol=1e-5, atol=1e-5)
+
+    def loss(method, x, offset, mask, w):
+        return jnp.sum(modulated_deform_conv(x, offset, mask, w, None,
+                                             deform_groups=dg, method=method) ** 2)
+
+    g_pal = jax.grad(lambda *a: loss('pallas_interpret', *a), argnums=(0, 1, 2, 3))(
+        x, offset, mask, w)
+    g_gat = jax.grad(lambda *a: loss('gather', *a), argnums=(0, 1, 2, 3))(
+        x, offset, mask, w)
+    for a, b, name in zip(g_pal, g_gat, ['x', 'offset', 'mask', 'weight']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                                   err_msg=f'{name} grad mismatch')
+
+
 def test_modulated_pack_module():
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.rand(2, 8, 8, 4).astype(np.float32))
