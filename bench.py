@@ -186,6 +186,38 @@ def bench_train(net_opt, batch, lr_size, scale=4, iters=4):
     return batch * (lr_size * scale) ** 2 / best / 1e6, batch * lr_size**2 / best
 
 
+def bench_dcn_train(iters=8):
+    """Fused DCN fwd+bwd at EDVR PCD sizes, ms (see scripts/bench_dcn.py for
+    the full method A/B: the fused/one-hot path is ~380x the gather
+    formulation's training step on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from basicsr4rs_tpu.ops.dcn import modulated_deform_conv
+    n, h, c, dg = 8, 64, 64, 8
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(n, h, h, c).astype(np.float32))
+    offset = jnp.asarray((rs.rand(n, h, h, 2 * dg * 9) * 2 - 1).astype(np.float32))
+    mask = jnp.asarray(rs.rand(n, h, h, dg * 9).astype(np.float32))
+    weight = jnp.asarray((rs.rand(3, 3, c, c) * 0.1).astype(np.float32))
+
+    def loss(x, offset, mask, weight):
+        return jnp.sum(modulated_deform_conv(x, offset, mask, weight,
+                                             deform_groups=dg) ** 2)
+
+    bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    out = bwd(x, offset, mask, weight)
+    float(np.asarray(out[0]).ravel()[0])  # compile + force
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = bwd(x, offset, mask, weight)
+        float(np.asarray(out[0]).ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+
 def bench_attention_ab(iters=4):
     """36-block window-attention stack: fused Pallas kernel vs XLA chain."""
     import jax
@@ -226,6 +258,7 @@ def main():
     sw_tr_mpix, sw_tr_lrpix = bench_train(_swinir_opt(True), batch=8, lr_size=64)
     ms_tr_mpix, ms_tr_lrpix = bench_train(dict(msr), batch=64, lr_size=64)
     ab = bench_attention_ab()
+    dcn_ms = bench_dcn_train()
 
     def mfu(lrpix_s, flops, mult=1.0):
         return round(lrpix_s * flops * mult / peak, 4) if peak else None
@@ -249,6 +282,7 @@ def main():
             'msrresnet_train_mpix_s': round(ms_tr_mpix, 2),
             'msrresnet_train_mfu': mfu(ms_tr_lrpix, ms_flops, 3.0),
             'attn_pallas_vs_xla': round(ab, 2),
+            'dcn_fwd_bwd_ms': round(dcn_ms, 2),
             'swinir_mflops_per_lr_pixel': round(sw_flops / 1e6, 2),
             'msrresnet_mflops_per_lr_pixel': round(ms_flops / 1e6, 2),
             'dtype': 'bfloat16',
