@@ -1,0 +1,114 @@
+"""Video-model train-step benchmark: EDVR-M and BasicVSR end to end.
+
+EDVR's PCD alignment runs 3 pyramid levels of cascaded DCN per neighbor
+frame — the op the reference implements in CUDA
+(ops/dcn/src/deform_conv_cuda_kernel.cu) and this framework as the
+one-hot/Pallas matmul sampler (ops/dcn.py). This measures the *model-level*
+effect of the DCN formulation: full jitted train step (fwd+bwd+Adam+EMA)
+in frames/s and ms/step.
+
+Prints one JSON line. Usage:
+    python scripts/bench_video.py [--model edvr|basicvsr|both] [--iters 5]
+    [--dcn-method auto|onehot|gather]
+"""
+
+import argparse
+import json
+import sys
+import time
+from os import path as osp
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
+
+
+def _make_model(kind, frames=5):
+    from basicsr4rs_tpu.models import build_model
+    from basicsr4rs_tpu.utils.options import yaml_load
+    if kind == 'edvr':
+        # train_EDVR_M_x4_SR_REDS_woTSA.yml network + training hyperparams
+        net = ('{type: EDVR, num_in_ch: 3, num_out_ch: 3, num_feat: 64, '
+               f'num_frame: {frames}, deformable_groups: 8, num_extract_block: 5, '
+               'num_reconstruct_block: 10, center_frame_idx: ~, hr_in: false, '
+               'with_predeblur: false, with_tsa: false}')
+        model_type, extra = 'EDVRModel', 'dcn_lr_mul: 1'
+    else:
+        net = ('{type: BasicVSR, num_feat: 64, num_block: 15, '
+               'spynet_path: ~}')
+        model_type, extra = 'VideoRecurrentModel', 'fix_flow: 0\n  flow_lr_mul: 0.125'
+    opt = yaml_load(f"""
+name: bench_video
+model_type: {model_type}
+scale: 4
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 0
+network_g: {net}
+path: {{pretrain_network_g: ~}}
+train:
+  ema_decay: 0.999
+  {extra}
+  optim_g: {{type: Adam, lr: !!float 4e-4}}
+  scheduler: {{type: CosineAnnealingRestartLR, periods: [600000], restart_weights: [1], eta_min: !!float 1e-7}}
+  total_iter: 600000
+  warmup_iter: -1
+  pixel_opt: {{type: CharbonnierLoss, loss_weight: 1.0, reduction: mean}}
+val: {{val_freq: !!float 1e8, metrics: {{psnr: {{type: calculate_psnr, crop_border: 0}}}}}}
+""")
+    return build_model(opt)
+
+
+def bench(kind, batch, frames, lr_size, iters):
+    import jax
+    model = _make_model(kind, frames)
+    rng = np.random.RandomState(0)
+    if kind == 'edvr':
+        batch_d = {'lq': rng.rand(batch, frames, lr_size, lr_size, 3).astype(np.float32),
+                   'gt': rng.rand(batch, lr_size * 4, lr_size * 4, 3).astype(np.float32)}
+        out_frames = 1
+    else:
+        batch_d = {'lq': rng.rand(batch, frames, lr_size, lr_size, 3).astype(np.float32),
+                   'gt': rng.rand(batch, frames, lr_size * 4, lr_size * 4, 3).astype(np.float32)}
+        out_frames = frames
+    model.feed_data(batch_d)
+    model.optimize_parameters(1)
+    jax.block_until_ready(model.state.params)
+    float(np.asarray(model.get_current_log()['l_pix']))  # compile + force
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            model.optimize_parameters(2 + i)
+        jax.block_until_ready(model.state.params)
+        float(np.asarray(model.get_current_log()['l_pix']))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return {'step_ms': round(best * 1e3, 1),
+            'frames_per_s': round(batch * out_frames / best, 2),
+            'batch': batch, 'frames': frames, 'lr_size': lr_size}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--model', default='both', choices=['edvr', 'basicvsr', 'both'])
+    p.add_argument('--batch', type=int, default=4)
+    p.add_argument('--frames', type=int, default=5)
+    p.add_argument('--lr-size', type=int, default=64)
+    p.add_argument('--iters', type=int, default=5)
+    args = p.parse_args()
+
+    import jax
+    out = {'metric': 'video_train_step_ms', 'unit': 'ms/step',
+           'platform': jax.default_backend()}
+    kinds = ['edvr', 'basicvsr'] if args.model == 'both' else [args.model]
+    for kind in kinds:
+        out[kind] = bench(kind, args.batch, args.frames, args.lr_size, args.iters)
+    out['value'] = out[kinds[0]]['step_ms']
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()
