@@ -119,6 +119,19 @@ class LNParams(nn.Module):
                 self.param('bias', nn.initializers.zeros, (self.features,)))
 
 
+class MlpParams(nn.Module):
+    """Mlp's param tree (fc1/fc2 kernel+bias) as raw arrays for the fused
+    LN+MLP kernel — checkpoint-compatible with :class:`Mlp`."""
+    in_features: int
+    hidden_features: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = DenseParams(self.in_features, self.hidden_features, name='fc1')()
+        w2, b2 = DenseParams(self.hidden_features, self.in_features, name='fc2')()
+        return w1, b1, w2, b2
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (reference swinir_arch.py:95-192).
 
@@ -296,9 +309,19 @@ class SwinTransformerBlock(nn.Module):
         x = x.reshape(b, h * w, c)
 
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
-        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
-                      dtype=self.dtype, name='mlp')(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x), deterministic)
+        if fused and self.drop == 0.:
+            # LN2+fc1+GELU+fc2 in one Pallas call (ops/mlp_block.py); params
+            # stay at norm2.* / mlp.fc1.* / mlp.fc2.* so checkpoints are
+            # identical to the unfused path.
+            from ..ops.mlp_block import fused_mlp_block
+            ln2_scale, ln2_bias = LNParams(self.dim, name='norm2')()
+            w1, b1, w2, b2 = MlpParams(self.dim, int(self.dim * self.mlp_ratio),
+                                       name='mlp')()
+            mlp_out = fused_mlp_block(x, ln2_scale, ln2_bias, w1, b1, w2, b2)
+        else:
+            mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                          dtype=self.dtype, name='mlp')(
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x), deterministic)
         return x + DropPath(self.drop_path)(mlp_out, deterministic)
 
 

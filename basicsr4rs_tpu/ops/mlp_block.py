@@ -1,0 +1,254 @@
+"""Fused LayerNorm + MLP branch kernel: LN2 -> fc1 -> GELU -> fc2 in ONE
+Pallas call.
+
+Motivation (measured on v5e, SwinIR-M x4, batch 8x64x64): the XLA MLP stack
+runs at ~18% MFU because the LN statistics, the (T, 2C) hidden activation
+and the GELU all round-trip HBM between the two GEMMs. Fused, the branch
+touches HBM only for x in and the branch output (both C wide, ~4x less
+traffic) and the hidden stays in VMEM.
+
+The residual add and DropPath stay OUTSIDE (the caller owns them), so the
+kernel computes exactly ``fc2(gelu(fc1(LN(x))))`` — the transformer MLP
+branch (reference swinir_arch.py Mlp, :61-77).
+
+Backward is one Pallas kernel that recomputes LN/fc1/GELU flash-style (only
+x is saved) and emits gradients for x, the LN affine and both GEMMs. Weight
+gradients accumulate in constant-index f32 blocks over a (token-tile,)
+grid (single grid axis — every revisit is on the minormost dim).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_LN_EPS = 1e-5
+
+
+def reference_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """Pure-XLA branch (non-TPU fallback; autodiff provides the backward).
+    x: (..., C); returns fc2(gelu(fc1(LN(x)))), same shape/dtype."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    xn = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    h = (xn.astype(dt) @ w1.astype(dt)).astype(jnp.float32) + b1.astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False)
+    z = (h.astype(dt) @ w2.astype(dt)).astype(jnp.float32) + b2.astype(jnp.float32)
+    return z.astype(dt)
+
+
+def _ln_forward(xf, ln_scale, ln_bias):
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    return (xf - mu) * inv * ln_scale + ln_bias, mu, inv
+
+
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 rational erf (max abs err 1.5e-7 — far below
+    bf16 rounding): Mosaic implements neither erf nor erfc."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    ax = jnp.abs(x)
+    t = 1. / (1. + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return jnp.sign(x) * (1. - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(h):
+    """Exact (erf) gelu, matching jax.nn.gelu(approximate=False) to 1.5e-7."""
+    return 0.5 * h * (1. + _erf(h * jnp.float32(0.7071067811865476)))
+
+
+def _gelu_grad(h):
+    """d gelu(h) / dh for exact (erf) gelu, f32."""
+    cdf = 0.5 * (1. + _erf(h * jnp.float32(0.7071067811865476)))
+    pdf = jnp.exp(-0.5 * h * h) * jnp.float32(0.3989422804014327)
+    return cdf + h * pdf
+
+
+def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    out_ref):
+    dt = x_ref.dtype
+    xn, _, _ = _ln_forward(x_ref[...].astype(jnp.float32), lns_ref[0], lnb_ref[0])
+    h = jax.lax.dot(xn.astype(dt), w1_ref[...],
+                    preferred_element_type=jnp.float32) + b1_ref[0]
+    h = _gelu(h)
+    z = jax.lax.dot(h.astype(dt), w2_ref[...],
+                    preferred_element_type=jnp.float32) + b2_ref[0]
+    out_ref[...] = z.astype(out_ref.dtype)
+
+
+def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, dz_ref,
+                    dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref):
+    from jax.experimental import pallas as pl
+
+    dt = x_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    # recompute forward
+    xf = x_ref[...].astype(jnp.float32)
+    lns = lns_ref[0]
+    xn, mu, inv = _ln_forward(xf, lns, lnb_ref[0])
+    xn_dt = xn.astype(dt)
+    hpre = jax.lax.dot(xn_dt, w1_ref[...],
+                       preferred_element_type=jnp.float32) + b1_ref[0]
+    h = _gelu(hpre)
+    dz = dz_ref[...].astype(jnp.float32)
+
+    # fc2 backward
+    dw2_ref[...] += jax.lax.dot_general(
+        h.astype(dt), dz.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[0] += jnp.sum(dz, axis=0)
+    dh = jax.lax.dot_general(dz.astype(dt), w2_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dhpre = dh * _gelu_grad(hpre)
+
+    # fc1 backward
+    dw1_ref[...] += jax.lax.dot_general(
+        xn_dt, dhpre.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[0] += jnp.sum(dhpre, axis=0)
+    dxn = jax.lax.dot_general(dhpre.astype(dt), w1_ref[...],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    # LayerNorm backward
+    xhat = (xf - mu) * inv
+    dlns_ref[0] += jnp.sum(dxn * xhat, axis=0)
+    dlnb_ref[0] += jnp.sum(dxn, axis=0)
+    dxhat = dxn * lns
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[...] = (inv * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _token_tile(t: int, c: int, hidden: int, bwd: bool) -> int:
+    """Token-tile size: multiple of 8 dividing t with the working set inside
+    ~6MB of VMEM (f32 x, xn, hidden x2, plus bf16 copies)."""
+    per_token = (c * 3 + hidden * (3 if bwd else 2)) * 4
+    best = 8
+    tile = 8
+    while tile <= t:
+        if t % tile == 0 and tile * per_token <= 6e6:
+            best = tile
+        tile += 8
+    return best
+
+
+def _const_spec(shape):
+    from jax.experimental import pallas as pl
+    return pl.BlockSpec(shape, lambda *_: (0,) * len(shape))
+
+
+def _mlp_forward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2):
+    from jax.experimental import pallas as pl
+
+    t, c = x2.shape
+    hidden = w1.shape[1]
+    tile = _token_tile(t, c, hidden, bwd=False)
+    return pl.pallas_call(
+        _mlp_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        grid=(t // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0)),
+            _const_spec((1, c)), _const_spec((1, c)),
+            _const_spec((c, hidden)), _const_spec((1, hidden)),
+            _const_spec((hidden, c)), _const_spec((1, c)),
+        ],
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0)),
+        interpret=interpret,
+    )(x2, ln_scale[None], ln_bias[None], w1.astype(x2.dtype), b1[None],
+      w2.astype(x2.dtype), b2[None])
+
+
+def _mlp_backward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, dz2):
+    from jax.experimental import pallas as pl
+
+    t, c = x2.shape
+    hidden = w1.shape[1]
+    tile = _token_tile(t, c, hidden, bwd=True)
+    f32 = jnp.float32
+    tok = pl.BlockSpec((tile, c), lambda i: (i, 0))
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
+        _mlp_bwd_kernel,
+        out_shape=(jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((c, hidden), f32),
+                   jax.ShapeDtypeStruct((1, hidden), f32),
+                   jax.ShapeDtypeStruct((hidden, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32)),
+        grid=(t // tile,),
+        in_specs=[
+            tok,
+            _const_spec((1, c)), _const_spec((1, c)),
+            _const_spec((c, hidden)), _const_spec((1, hidden)),
+            _const_spec((hidden, c)),
+            tok,
+        ],
+        out_specs=(tok,
+                   _const_spec((1, c)), _const_spec((1, c)),
+                   _const_spec((c, hidden)), _const_spec((1, hidden)),
+                   _const_spec((hidden, c)), _const_spec((1, c))),
+        interpret=interpret,
+    )(x2, ln_scale[None], ln_bias[None], w1.astype(x2.dtype), b1[None],
+      w2.astype(x2.dtype), dz2)
+    return dx, dlns[0], dlnb[0], dw1.astype(w1.dtype), db1[0], dw2.astype(w2.dtype), db2[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mlp_vjp(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2):
+    return _mlp_forward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _mlp_vjp_fwd(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2):
+    out = _mlp_forward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2)
+    return out, (x2, ln_scale, ln_bias, w1, b1, w2)
+
+
+def _mlp_vjp_bwd(interpret, res, dz):
+    x2, ln_scale, ln_bias, w1, b1, w2 = res
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = _mlp_backward(
+        interpret, x2, ln_scale, ln_bias, w1, b1, w2, dz.astype(x2.dtype))
+    return dx, dlns, dlnb, dw1, db1, dw2, db2
+
+
+_mlp_vjp.defvjp(_mlp_vjp_fwd, _mlp_vjp_bwd)
+
+
+def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                    interpret: bool = False):
+    """Fused LN+fc1+GELU+fc2 branch; XLA fallback off-TPU.
+
+    Args:
+      x: (..., C) tokens (any leading shape).
+      ln_scale, ln_bias: (C,) LayerNorm affine.
+      w1: (C, hidden); b1: (hidden,); w2: (hidden, C); b2: (C,).
+    Returns: same shape as x — the MLP branch WITHOUT the residual.
+    """
+    if not interpret and jax.default_backend() not in ('tpu',):
+        return reference_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    shape = x.shape
+    c = shape[-1]
+    x2 = x.reshape(-1, c)
+    out = _mlp_vjp(interpret, x2, ln_scale.astype(jnp.float32),
+                   ln_bias.astype(jnp.float32), w1, b1.astype(jnp.float32),
+                   w2, b2.astype(jnp.float32))
+    return out.reshape(shape)

@@ -100,22 +100,47 @@ def _ln_forward(xf, ln_scale, ln_bias):
     return xn, mu, inv
 
 
+def _split_heads(qkv3, num_heads, c):
+    """(ng, pn, 3C) -> q, k, v each (heads*ng, pn, hd), head-major on the
+    leading (batch) dim. Built by concatenating per-head lane slices along
+    axis 0 — Mosaic matmul supports a single batch dim and no lane-dim
+    shape casts, so this is the layout the batched dots need."""
+    hd = c // num_heads
+
+    def part(i):
+        return jnp.concatenate(
+            [qkv3[:, :, i * c + h * hd:i * c + (h + 1) * hd]
+             for h in range(num_heads)], axis=0)
+
+    return part(0), part(1), part(2)
+
+
+def _attention_probs(qkv3, bias_ref, num_heads, c, scale, broadcast_bias):
+    """Head-batched scores + softmax: returns (p, v) with
+    p (heads*ng, pn, pn) f32 and v (heads*ng, pn, hd). bias_ref is packed
+    head-major: (heads, nWb, pn, pn)."""
+    ng, pn, _ = qkv3.shape
+    q, k, v = _split_heads(qkv3, num_heads, c)
+    s = jax.lax.dot_general(q.astype(jnp.float32) * scale, k.astype(jnp.float32),
+                            (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s4 = s.reshape(num_heads, ng, pn, pn)
+    p = jax.nn.softmax(s4 + bias_ref[...], axis=-1)   # (heads, 1|ng, pn, pn)
+    return p.reshape(num_heads * ng, pn, pn), v
+
+
 def _attention_heads(qkv3, bias_ref, num_heads, c, scale, broadcast_bias,
                      out_dtype):
-    """qkv3: (ng, pn, 3C) -> attention output (ng, pn, C)."""
+    """qkv3: (ng, pn, 3C) -> attention output (ng, pn, C). All heads in one
+    batched matmul pair + one softmax (batch dim heads*ng)."""
+    ng, pn, _ = qkv3.shape
     hd = c // num_heads
-    outs = []
-    for head in range(num_heads):
-        q = qkv3[:, :, head * hd:(head + 1) * hd].astype(jnp.float32) * scale
-        k = qkv3[:, :, c + head * hd:c + (head + 1) * hd].astype(jnp.float32)
-        v = qkv3[:, :, 2 * c + head * hd:2 * c + (head + 1) * hd]
-        attn = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                   preferred_element_type=jnp.float32)
-        attn = attn + (bias_ref[0, head] if broadcast_bias else bias_ref[:, head])
-        attn = jax.nn.softmax(attn, axis=-1).astype(out_dtype)
-        outs.append(jax.lax.dot_general(attn, v, (((2,), (1,)), ((0,), (0,))),
-                                        preferred_element_type=jnp.float32))
-    return jnp.concatenate(outs, axis=-1)
+    p, v = _attention_probs(qkv3, bias_ref, num_heads, c, scale, broadcast_bias)
+    o = jax.lax.dot_general(p.astype(out_dtype), v,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    return jnp.concatenate([o[h * ng:(h + 1) * ng] for h in range(num_heads)],
+                           axis=-1)
 
 
 def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -201,37 +226,36 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                              preferred_element_type=jnp.float32)   # (T, C)
     da3 = da.reshape(ng, pn, c)
 
-    # ---- attention backward per head (softmax VJP on recomputed P)
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for head in range(num_heads):
-        q = qkv3[:, :, head * hd:(head + 1) * hd].astype(jnp.float32)
-        k = qkv3[:, :, c + head * hd:c + (head + 1) * hd].astype(jnp.float32)
-        v = qkv3[:, :, 2 * c + head * hd:2 * c + (head + 1) * hd].astype(jnp.float32)
-        do = da3[:, :, head * hd:(head + 1) * hd]
+    # ---- attention backward, all heads batched (softmax VJP on recomputed P)
+    q, k, v = _split_heads(qkv3, num_heads, c)        # (ng*heads, pn, hd)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    do = (da3.reshape(ng, pn, num_heads, hd).transpose(0, 2, 1, 3)
+          .reshape(ng * num_heads, pn, hd))            # f32
 
-        s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        s = s + (bias_ref[0, head] if broadcast_bias else bias_ref[:, head])
-        p = jax.nn.softmax(s, axis=-1)
+    p, _ = _attention_probs(qkv3, bias_ref, num_heads, c, scale, broadcast_bias)
 
-        dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = scale * jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
-                                         preferred_element_type=jnp.float32)
-        dk = scale * jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
-                                         preferred_element_type=jnp.float32)
-        dq_parts.append(dq)
-        dk_parts.append(dk)
-        dv_parts.append(dv)
-        if broadcast_bias:
-            dbias_ref[0, head] += jnp.sum(ds, axis=0)
-        else:
-            dbias_ref[:, head] += ds
+    dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, vf, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = scale * jax.lax.dot_general(ds, kf, (((2,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+    dk = scale * jax.lax.dot_general(ds, qf, (((1,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+    ds4 = ds.reshape(num_heads, ng, pn, pn)
+    if broadcast_bias:
+        dbias_ref[...] += jnp.sum(ds4, axis=1, keepdims=True)
+    else:
+        dbias_ref[...] += ds4
 
-    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1).reshape(t, 3 * c)
+    def merge(g):  # (ng*heads, pn, hd) -> (t, c)
+        return (g.reshape(ng, num_heads, pn, hd).transpose(0, 2, 1, 3)
+                .reshape(t, c))
+
+    dqkv = jnp.concatenate([merge(dq), merge(dk), merge(dv)], axis=-1)
 
     # ---- qkv GEMM backward
     dwqkv_ref[...] += jax.lax.dot_general(
@@ -285,18 +309,17 @@ def _geometry(x, window_size):
 
 
 def _bias_block(bias_p_shape, num_heads, pn, ng_chunk, w_chunks, order):
-    """BlockSpec for the packed bias under a 3D grid.
-
-    order='fwd' -> grid (b, j, wc); order='bwd' -> grid (j, wc, b)."""
+    """BlockSpec for the HEAD-MAJOR packed bias (heads, nWb, pn, pn) under a
+    3D grid. order='fwd' -> grid (b, j, wc); order='bwd' -> grid (j, wc, b)."""
     from jax.experimental import pallas as pl
-    broadcast = bias_p_shape[0] == 1
+    broadcast = bias_p_shape[1] == 1
     if broadcast:
-        return pl.BlockSpec((1, num_heads, pn, pn), lambda *_: (0, 0, 0, 0)), True
+        return pl.BlockSpec((num_heads, 1, pn, pn), lambda *_: (0, 0, 0, 0)), True
     if order == 'fwd':
-        return pl.BlockSpec((ng_chunk, num_heads, pn, pn),
-                            lambda bi, j, wc: (j * w_chunks + wc, 0, 0, 0)), False
-    return pl.BlockSpec((ng_chunk, num_heads, pn, pn),
-                        lambda j, wc, bi: (j * w_chunks + wc, 0, 0, 0)), False
+        return pl.BlockSpec((num_heads, ng_chunk, pn, pn),
+                            lambda bi, j, wc: (0, j * w_chunks + wc, 0, 0)), False
+    return pl.BlockSpec((num_heads, ng_chunk, pn, pn),
+                        lambda j, wc, bi: (0, j * w_chunks + wc, 0, 0)), False
 
 
 def _const_spec(shape, ndim_grid=3):
@@ -311,7 +334,7 @@ def _fused_block_forward(window_size, num_heads, scale, interpret, x,
     b, h, w, c, ws, n, pack, cw = _geometry(x, window_size)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
-    bias_p = _pack_bias(bias, pack, n)
+    bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
     bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn, ng,
                                             w_chunks, 'fwd')
     kernel = functools.partial(_block_fwd_kernel, ws=ws, num_heads=num_heads,
@@ -341,7 +364,7 @@ def _fused_block_backward(window_size, num_heads, scale, interpret, x,
     b, h, w, c, ws, n, pack, cw = _geometry(x, window_size)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
-    bias_p = _pack_bias(bias, pack, n)
+    bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
     bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn, ng,
                                             w_chunks, 'bwd')
     kernel = functools.partial(_block_bwd_kernel, ws=ws, num_heads=num_heads,
@@ -376,7 +399,7 @@ def _fused_block_backward(window_size, num_heads, scale, interpret, x,
         interpret=interpret,
     )(x, ln_scale[None], ln_bias[None], wqkv.astype(x.dtype), bqkv[None],
       wproj.astype(x.dtype), bias_p, dz)
-    dbias = _unpack_dbias(dbias_p, pack, n, bias.shape[0])
+    dbias = _unpack_dbias(dbias_p.transpose(1, 0, 2, 3), pack, n, bias.shape[0])
     return (dx, dlns[0], dlnb[0], dwqkv.astype(wqkv.dtype), dbqkv[0],
             dwproj.astype(wproj.dtype), dbproj[0], dbias)
 

@@ -75,7 +75,7 @@ def main():
     scale = (C // heads) ** -0.5
 
     def attn_stack(acc, h):
-        h = h + acc * 1e-30
+        h = (h + acc * 1e-30).astype(h.dtype)
         for _ in range(blocks):
             h = fused_swin_attn_block(h, lns, lnb, wqkv, bqkv, wproj, bproj,
                                       bias, ws, heads, scale)
@@ -88,7 +88,7 @@ def main():
     w2 = jnp.asarray(rs.rand(2 * C, C).astype(np.float32) * 0.05).astype(dt)
 
     def mlp_stack(acc, h):
-        h = h + acc * 1e-30
+        h = (h + acc * 1e-30).astype(dt)
         for _ in range(blocks):
             y = nn.LayerNorm(dtype=dt).apply(
                 {'params': {'scale': lns, 'bias': lnb}}, h)
@@ -102,7 +102,7 @@ def main():
     cf = jnp.asarray(rs.rand(3, 3, C, C).astype(np.float32) * 0.05).astype(dt)
 
     def conv_stack(acc, h):
-        h = h + acc * 1e-30
+        h = (h + acc * 1e-30).astype(dt)
         for _ in range(7):  # 6 RSTB tails + conv_after_body
             h = jax.lax.conv_general_dilated(
                 h, cf, (1, 1), [(1, 1), (1, 1)],
