@@ -216,10 +216,11 @@ class WindowAttention(nn.Module):
         return self.proj_dropout(out, deterministic=deterministic)
 
     def fused_block(self, x, ln_scale, ln_bias, window_size: int, mask=None,
-                    deterministic: bool = True):
+                    deterministic: bool = True, add_residual: bool = False):
         """The whole attention branch — LN1(x) -> qkv -> W-MSA -> proj — in
         one Pallas call (ops/swin_block.py). x: (B, H, W, C), already
-        shifted; the caller adds the residual (and DropPath)."""
+        shifted; the caller adds the residual (and DropPath) unless
+        ``add_residual`` folds it into the kernel (requires proj_drop=0)."""
         from ..ops.swin_block import fused_swin_attn_block
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
@@ -230,7 +231,7 @@ class WindowAttention(nn.Module):
         bias = self._packed_bias(window_size, mask)
         out = fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                     bproj, bias, window_size, self.num_heads,
-                                    scale)
+                                    scale, add_residual=add_residual)
         return self.proj_dropout(out, deterministic=deterministic)
 
 
@@ -294,10 +295,17 @@ class SwinTransformerBlock(nn.Module):
         else:
             mask = None
 
+        # DropPath is identity when rate==0 or at eval, so the residual adds
+        # can fold into the fused kernels (the kernel input is the rolled
+        # shortcut; roll-back commutes with the addition)
+        fold_residual = (fused and self.drop == 0.
+                         and (self.drop_path == 0. or deterministic))
+
         if fused:
             # whole branch (LN1+qkv+attn+proj) in one Pallas call
             x = attn_mod.fused_block(x, ln_scale, ln_bias, window_size,
-                                     mask=mask, deterministic=deterministic)
+                                     mask=mask, deterministic=deterministic,
+                                     add_residual=fold_residual)
         else:
             x_windows = window_partition(x, window_size).reshape(-1, window_size * window_size, c)
             attn_windows = attn_mod(x_windows, mask=mask, deterministic=deterministic)
@@ -308,7 +316,8 @@ class SwinTransformerBlock(nn.Module):
             x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
         x = x.reshape(b, h * w, c)
 
-        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        if not fold_residual:
+            x = shortcut + DropPath(self.drop_path)(x, deterministic)
         if fused and self.drop == 0.:
             # LN2+fc1+GELU+fc2 in one Pallas call (ops/mlp_block.py); params
             # stay at norm2.* / mlp.fc1.* / mlp.fc2.* so checkpoints are
@@ -317,11 +326,16 @@ class SwinTransformerBlock(nn.Module):
             ln2_scale, ln2_bias = LNParams(self.dim, name='norm2')()
             w1, b1, w2, b2 = MlpParams(self.dim, int(self.dim * self.mlp_ratio),
                                        name='mlp')()
-            mlp_out = fused_mlp_block(x, ln2_scale, ln2_bias, w1, b1, w2, b2)
+            mlp_out = fused_mlp_block(x, ln2_scale, ln2_bias, w1, b1, w2, b2,
+                                      add_residual=fold_residual)
+            if fold_residual:
+                return mlp_out
         else:
             mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
                           dtype=self.dtype, name='mlp')(
                 nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x), deterministic)
+            if fold_residual:
+                return x + mlp_out
         return x + DropPath(self.drop_path)(mlp_out, deterministic)
 
 

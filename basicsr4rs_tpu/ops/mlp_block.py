@@ -72,20 +72,23 @@ def _gelu_grad(h):
 
 
 def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    out_ref):
+                    out_ref, *, add_residual):
     dt = x_ref.dtype
-    xn, _, _ = _ln_forward(x_ref[...].astype(jnp.float32), lns_ref[0], lnb_ref[0])
+    xf = x_ref[...].astype(jnp.float32)
+    xn, _, _ = _ln_forward(xf, lns_ref[0], lnb_ref[0])
     h = jax.lax.dot(xn.astype(dt), w1_ref[...],
                     preferred_element_type=jnp.float32) + b1_ref[0]
     h = _gelu(h)
     z = jax.lax.dot(h.astype(dt), w2_ref[...],
                     preferred_element_type=jnp.float32) + b2_ref[0]
+    if add_residual:
+        z = z + xf
     out_ref[...] = z.astype(out_ref.dtype)
 
 
 def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, dz_ref,
                     dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
-                    db2_ref):
+                    db2_ref, *, add_residual):
     from jax.experimental import pallas as pl
 
     dt = x_ref.dtype
@@ -135,7 +138,10 @@ def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, dz_ref,
     dxhat = dxn * lns
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx_ref[...] = (inv * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+    dx = inv * (dxhat - m1 - xhat * m2)
+    if add_residual:
+        dx = dx + dz
+    dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
 def _token_tile(t: int, c: int, hidden: int, bwd: bool) -> int:
@@ -156,14 +162,14 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda *_: (0,) * len(shape))
 
 
-def _mlp_forward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2):
+def _mlp_forward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, b2):
     from jax.experimental import pallas as pl
 
     t, c = x2.shape
     hidden = w1.shape[1]
     tile = _token_tile(t, c, hidden, bwd=False)
     return pl.pallas_call(
-        _mlp_fwd_kernel,
+        functools.partial(_mlp_fwd_kernel, add_residual=add_residual),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
         grid=(t // tile,),
         in_specs=[
@@ -178,7 +184,7 @@ def _mlp_forward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2):
       w2.astype(x2.dtype), b2[None])
 
 
-def _mlp_backward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, dz2):
+def _mlp_backward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, dz2):
     from jax.experimental import pallas as pl
 
     t, c = x2.shape
@@ -187,7 +193,7 @@ def _mlp_backward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, dz2):
     f32 = jnp.float32
     tok = pl.BlockSpec((tile, c), lambda i: (i, 0))
     dx, dlns, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
-        _mlp_bwd_kernel,
+        functools.partial(_mlp_bwd_kernel, add_residual=add_residual),
         out_shape=(jax.ShapeDtypeStruct(x2.shape, x2.dtype),
                    jax.ShapeDtypeStruct((1, c), f32),
                    jax.ShapeDtypeStruct((1, c), f32),
@@ -213,20 +219,23 @@ def _mlp_backward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, dz2):
     return dx, dlns[0], dlnb[0], dw1.astype(w1.dtype), db1[0], dw2.astype(w2.dtype), db2[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _mlp_vjp(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2):
-    return _mlp_forward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _mlp_vjp(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, b2):
+    return _mlp_forward(interpret, add_residual, x2, ln_scale, ln_bias, w1,
+                        b1, w2, b2)
 
 
-def _mlp_vjp_fwd(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2):
-    out = _mlp_forward(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2)
+def _mlp_vjp_fwd(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, b2):
+    out = _mlp_forward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1,
+                       w2, b2)
     return out, (x2, ln_scale, ln_bias, w1, b1, w2)
 
 
-def _mlp_vjp_bwd(interpret, res, dz):
+def _mlp_vjp_bwd(interpret, add_residual, res, dz):
     x2, ln_scale, ln_bias, w1, b1, w2 = res
     dx, dlns, dlnb, dw1, db1, dw2, db2 = _mlp_backward(
-        interpret, x2, ln_scale, ln_bias, w1, b1, w2, dz.astype(x2.dtype))
+        interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2,
+        dz.astype(x2.dtype))
     return dx, dlns, dlnb, dw1, db1, dw2, db2
 
 
@@ -234,7 +243,7 @@ _mlp_vjp.defvjp(_mlp_vjp_fwd, _mlp_vjp_bwd)
 
 
 def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
-                    interpret: bool = False):
+                    interpret: bool = False, add_residual: bool = False):
     """Fused LN+fc1+GELU+fc2 branch; XLA fallback off-TPU.
 
     Args:
@@ -244,11 +253,12 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
     Returns: same shape as x — the MLP branch WITHOUT the residual.
     """
     if not interpret and jax.default_backend() not in ('tpu',):
-        return reference_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
+        out = reference_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
+        return x + out if add_residual else out
     shape = x.shape
     c = shape[-1]
     x2 = x.reshape(-1, c)
-    out = _mlp_vjp(interpret, x2, ln_scale.astype(jnp.float32),
+    out = _mlp_vjp(interpret, add_residual, x2, ln_scale.astype(jnp.float32),
                    ln_bias.astype(jnp.float32), w1, b1.astype(jnp.float32),
                    w2, b2.astype(jnp.float32))
     return out.reshape(shape)

@@ -145,7 +145,7 @@ def _attention_heads(qkv3, bias_ref, num_heads, c, scale, broadcast_bias,
 
 def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                       bproj_ref, bias_ref, out_ref, *, ws, num_heads, c,
-                      scale, broadcast_bias, pack):
+                      scale, broadcast_bias, pack, add_residual):
     x = x_ref[0]                               # (ws, CW, C)
     cw = x.shape[1]
     nw = cw // ws
@@ -161,6 +161,10 @@ def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                          num_heads, c, scale, broadcast_bias, dt)
     z = jax.lax.dot(a.reshape(ng * pn, c).astype(dt), wproj_ref[...],
                     preferred_element_type=jnp.float32) + bproj_ref[0]
+    if add_residual:
+        # the kernel input IS the (rolled) shortcut, so the residual add is
+        # free here; roll-back outside commutes with the addition
+        z = z + xw.astype(jnp.float32)
     out_ref[0] = _window_unpack(z.astype(out_ref.dtype), ws, nw, cw, c)
 
 
@@ -168,7 +172,7 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                       bias_ref, dz_ref,
                       dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                       dwproj_ref, dbproj_ref, dbias_ref, *, ws, num_heads, c,
-                      scale, broadcast_bias, pack):
+                      scale, broadcast_bias, pack, add_residual):
     from jax.experimental import pallas as pl
 
     x = x_ref[0]                               # (ws, CW, C)
@@ -273,13 +277,15 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx = inv * (dxhat - m1 - xhat * m2)
+    if add_residual:
+        dx = dx + dz_w
     dx_ref[0] = _window_unpack(dx.astype(dx_ref.dtype), ws, nw, cw, c)
 
 
 # ------------------------------------------------------------- dispatch
 def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                           bias, window_size: int, num_heads: int, scale: float,
-                          interpret: bool = False):
+                          interpret: bool = False, add_residual: bool = False):
     """Fused LN1+qkv+window-attention+proj branch; XLA fallback off-TPU.
 
     Args:
@@ -290,10 +296,11 @@ def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     Returns: (B, H, W, C) — the attention branch WITHOUT the residual.
     """
     if not interpret and jax.default_backend() not in ('tpu',):
-        return reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
-                                         wproj, bproj, bias, window_size,
-                                         num_heads, scale)
-    return _fused_block_vjp(window_size, num_heads, scale, interpret,
+        out = reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
+                                        wproj, bproj, bias, window_size,
+                                        num_heads, scale)
+        return x + out if add_residual else out
+    return _fused_block_vjp(window_size, num_heads, scale, interpret, add_residual,
                             x, ln_scale.astype(jnp.float32),
                             ln_bias.astype(jnp.float32), wqkv, bqkv.astype(jnp.float32),
                             wproj, bproj.astype(jnp.float32),
@@ -327,8 +334,9 @@ def _const_spec(shape, ndim_grid=3):
     return pl.BlockSpec(shape, lambda *_: (0,) * len(shape))
 
 
-def _fused_block_forward(window_size, num_heads, scale, interpret, x,
-                         ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias):
+def _fused_block_forward(window_size, num_heads, scale, interpret,
+                         add_residual, x, ln_scale, ln_bias, wqkv, bqkv,
+                         wproj, bproj, bias):
     from jax.experimental import pallas as pl
 
     b, h, w, c, ws, n, pack, cw = _geometry(x, window_size)
@@ -339,7 +347,7 @@ def _fused_block_forward(window_size, num_heads, scale, interpret, x,
                                             w_chunks, 'fwd')
     kernel = functools.partial(_block_fwd_kernel, ws=ws, num_heads=num_heads,
                                c=c, scale=scale, broadcast_bias=broadcast_bias,
-                               pack=pack)
+                               pack=pack, add_residual=add_residual)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -357,8 +365,9 @@ def _fused_block_forward(window_size, num_heads, scale, interpret, x,
       wproj.astype(x.dtype), bproj[None], bias_p)
 
 
-def _fused_block_backward(window_size, num_heads, scale, interpret, x,
-                          ln_scale, ln_bias, wqkv, bqkv, wproj, bias, dz):
+def _fused_block_backward(window_size, num_heads, scale, interpret,
+                          add_residual, x, ln_scale, ln_bias, wqkv, bqkv,
+                          wproj, bias, dz):
     from jax.experimental import pallas as pl
 
     b, h, w, c, ws, n, pack, cw = _geometry(x, window_size)
@@ -369,7 +378,7 @@ def _fused_block_backward(window_size, num_heads, scale, interpret, x,
                                             w_chunks, 'bwd')
     kernel = functools.partial(_block_bwd_kernel, ws=ws, num_heads=num_heads,
                                c=c, scale=scale, broadcast_bias=broadcast_bias,
-                               pack=pack)
+                               pack=pack, add_residual=add_residual)
     strip = pl.BlockSpec((1, ws, cw, c), lambda j, wc, bi: (bi, j, wc, 0))
     f32 = jnp.float32
     dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias_p = pl.pallas_call(
@@ -404,27 +413,27 @@ def _fused_block_backward(window_size, num_heads, scale, interpret, x,
             dwproj.astype(wproj.dtype), dbproj[0], dbias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _fused_block_vjp(window_size, num_heads, scale, interpret, x, ln_scale,
-                     ln_bias, wqkv, bqkv, wproj, bproj, bias):
-    return _fused_block_forward(window_size, num_heads, scale, interpret, x,
-                                ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                                bias)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_block_vjp(window_size, num_heads, scale, interpret, add_residual,
+                     x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias):
+    return _fused_block_forward(window_size, num_heads, scale, interpret,
+                                add_residual, x, ln_scale, ln_bias, wqkv,
+                                bqkv, wproj, bproj, bias)
 
 
-def _vjp_fwd(window_size, num_heads, scale, interpret, x, ln_scale, ln_bias,
-             wqkv, bqkv, wproj, bproj, bias):
-    out = _fused_block_forward(window_size, num_heads, scale, interpret, x,
-                               ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                               bias)
+def _vjp_fwd(window_size, num_heads, scale, interpret, add_residual, x,
+             ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias):
+    out = _fused_block_forward(window_size, num_heads, scale, interpret,
+                               add_residual, x, ln_scale, ln_bias, wqkv, bqkv,
+                               wproj, bproj, bias)
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bias)
 
 
-def _vjp_bwd(window_size, num_heads, scale, interpret, res, dz):
+def _vjp_bwd(window_size, num_heads, scale, interpret, add_residual, res, dz):
     x, ln_scale, ln_bias, wqkv, bqkv, wproj, bias = res
     dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias = _fused_block_backward(
-        window_size, num_heads, scale, interpret, x, ln_scale, ln_bias, wqkv,
-        bqkv, wproj, bias, dz.astype(x.dtype))
+        window_size, num_heads, scale, interpret, add_residual, x, ln_scale,
+        ln_bias, wqkv, bqkv, wproj, bias, dz.astype(x.dtype))
     return dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias
 
 

@@ -67,6 +67,27 @@ def test_vjp_matches_reference_grads():
         assert err < 2e-4, f'grad mismatch for {name}: rel-err {err:.2e}'
 
 
+def test_add_residual_mode():
+    """add_residual folds x + branch into the kernel — fwd and dx."""
+    kw = _case(seed=4)
+    args = [kw[k] for k in ARGNAMES]
+    want = kw['x'] + reference_mlp_block(*args)
+    got = fused_mlp_block(*args, interpret=True, add_residual=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss_fused(x):
+        return jnp.sum(fused_mlp_block(x, *args[1:], interpret=True,
+                                       add_residual=True) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum((x + reference_mlp_block(x, *args[1:])) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_fused)(kw['x'])),
+                               np.asarray(jax.grad(loss_ref)(kw['x'])),
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_multi_tile_grid():
     """Token count large enough for several grid tiles; weight grads must
     accumulate across tiles."""

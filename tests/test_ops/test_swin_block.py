@@ -61,6 +61,30 @@ def test_vjp_matches_reference_grads(nwb):
         assert err < 2e-4, f'grad mismatch for {name}: rel-err {err:.2e}'
 
 
+def test_add_residual_mode():
+    """add_residual folds x + branch into the kernel — fwd and dx."""
+    kw = _case(nwb=16, seed=21)
+    args = [kw[k] for k in ARGNAMES]
+    want = kw['x'] + reference_swin_attn_block(*args, 4, 3, 0.37)
+    got = fused_swin_attn_block(*args, 4, 3, 0.37, interpret=True,
+                                add_residual=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss_fused(x):
+        out = fused_swin_attn_block(x, *args[1:], 4, 3, 0.37, interpret=True,
+                                    add_residual=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x):
+        out = x + reference_swin_attn_block(x, *args[1:], 4, 3, 0.37)
+        return jnp.sum(out ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_fused)(kw['x'])),
+                               np.asarray(jax.grad(loss_ref)(kw['x'])),
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_wide_input_uses_w_chunking():
     """W large enough to trigger multiple W-chunks in the kernel grid."""
     kw = _case(b=1, h=8, w=64, c=8, heads=2, ws=4, nwb=1, seed=3)
