@@ -235,8 +235,9 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    do = (da3.reshape(ng, pn, num_heads, hd).transpose(0, 2, 1, 3)
-          .reshape(ng * num_heads, pn, hd))            # f32
+    # head-major axis-0 concat, like _split_heads (no lane-dim shape casts)
+    do = jnp.concatenate([da3[:, :, h * hd:(h + 1) * hd]
+                          for h in range(num_heads)], axis=0)   # f32
 
     p, _ = _attention_probs(qkv3, bias_ref, num_heads, c, scale, broadcast_bias)
 
@@ -255,9 +256,10 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     else:
         dbias_ref[...] += ds4
 
-    def merge(g):  # (ng*heads, pn, hd) -> (t, c)
-        return (g.reshape(ng, num_heads, pn, hd).transpose(0, 2, 1, 3)
-                .reshape(t, c))
+    def merge(g):  # (heads*ng, pn, hd) head-major -> (t, c)
+        return jnp.concatenate(
+            [g[h * ng:(h + 1) * ng].reshape(t, hd) for h in range(num_heads)],
+            axis=-1)
 
     dqkv = jnp.concatenate([merge(dq), merge(dk), merge(dv)], axis=-1)
 

@@ -273,7 +273,11 @@ def main():
             'baseline_note': ('torch A100 estimate = 312 TFLOP/s fp16 x '
                               f'{TORCH_A100_ASSUMED_MFU:.0%} MFU / '
                               f'{sw_flops / 1e6:.1f} MFLOPs/LR-pix = '
-                              f'{torch_a100:.1f} MP/s; north star >= 2x'),
+                              f'{torch_a100:.1f} MP/s; north star >= 2x. '
+                              'NB: v5e bf16 peak is 197/312 = 0.63x A100 '
+                              'fp16, so vs_baseline x 1.58 gives the '
+                              'peak-normalized MFU ratio vs the assumed '
+                              'torch 10%'),
             'swinir_infer_mfu': mfu(sw_lrpix_s, sw_flops),
             'swinir_train_mpix_s': round(sw_tr_mpix, 2),
             'swinir_train_mfu': mfu(sw_tr_lrpix, sw_flops, 3.0),
