@@ -61,12 +61,18 @@ def reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
 
 # ----------------------------------------------------------- chunk sizing
-def _chunk_cols(w: int, ws: int, pack: int, c: int, bwd: bool) -> int:
-    """Largest W-chunk (multiple of ws*pack, divides w) whose backward
-    working set fits VMEM (~16MB; budget ~6MB for the f32 token buffers —
-    roughly 8 live (T, C) f32 tensors in the backward, 3 in the forward)."""
+def _chunk_cols(w: int, ws: int, pack: int, c: int, num_heads: int,
+                bwd: bool) -> int:
+    """Largest W-chunk (multiple of ws*pack, divides w) whose working set
+    fits VMEM (~16MB; budget ~6MB for the f32 buffers): roughly 8 live
+    (T, C) token tensors in the backward (3 in the forward) plus the
+    head-batched attention matrices — (heads*ng, pn, pn) f32, ~4 live in the
+    backward (s/p/dp/ds), 2 in the forward — which cost heads*pn*4 bytes
+    per token."""
     unit = ws * pack
-    per_token_bytes = c * 4 * (8 if bwd else 3)
+    pn = pack * ws * ws
+    per_token_bytes = (c * 4 * (8 if bwd else 3)
+                       + num_heads * pn * 4 * (4 if bwd else 2))
     budget = 6e6
     best = unit
     cw = unit
@@ -309,11 +315,11 @@ def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                             bias.astype(jnp.float32))
 
 
-def _geometry(x, window_size):
+def _geometry(x, window_size, num_heads):
     b, h, w, c = x.shape
     ws, n = window_size, window_size * window_size
     pack = _pack_factor(n, w // ws)
-    cw = _chunk_cols(w, ws, pack, c, bwd=True)
+    cw = _chunk_cols(w, ws, pack, c, num_heads, bwd=True)
     return b, h, w, c, ws, n, pack, cw
 
 
@@ -341,7 +347,7 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
                          wproj, bproj, bias):
     from jax.experimental import pallas as pl
 
-    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size)
+    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size, num_heads)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
     bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
@@ -372,7 +378,7 @@ def _fused_block_backward(window_size, num_heads, scale, interpret,
                           wproj, bias, dz):
     from jax.experimental import pallas as pl
 
-    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size)
+    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size, num_heads)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
     bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
