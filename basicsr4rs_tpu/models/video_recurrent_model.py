@@ -28,9 +28,11 @@ class VideoRecurrentModel(VideoBaseModel):
         super().__init__(opt)
 
     def _dummy_input(self):
-        # >= 40px keeps the 6-level SpyNet pyramid non-degenerate
+        # >= 64px: keeps the 6-level SpyNet pyramid non-degenerate AND
+        # satisfies BasicVSR++'s minimum low-res input size
+        # (basicvsrpp_arch.py:117; reference asserts the same)
         num_in_ch = self.opt['network_g'].get('num_in_ch', 3)
-        return jnp.zeros((1, 2, 40, 40, num_in_ch), jnp.float32)
+        return jnp.zeros((1, 2, 64, 64, num_in_ch), jnp.float32)
 
     def _postprocess_updates(self, updates, params, step):
         def scale(path, u):

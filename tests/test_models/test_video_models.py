@@ -234,3 +234,18 @@ val: {val_freq: 100, metrics: {psnr: {type: calculate_psnr, crop_border: 0}}}
     model2.feed_data(batch)
     model2.optimize_parameters(1)
     assert 'dcn_offset_abs_mean' not in model2.get_current_log()
+
+def test_basicvsrpp_under_video_recurrent_model_builds():
+    """Regression: the model's dummy-init input must satisfy BasicVSR++'s
+    >=64px minimum low-res size (a 40px dummy crashed model build)."""
+    opt = _recurrent_opt()
+    opt['network_g'] = {'type': 'BasicVSRPlusPlus', 'mid_channels': 8,
+                        'num_blocks': 1, 'max_residue_magnitude': 10,
+                        'is_low_res_input': True, 'spynet_path': None}
+    model = build_model(opt)
+    rng = np.random.RandomState(1)
+    lq = rng.rand(1, 2, 64, 64, 3).astype(np.float32)
+    gt = rng.rand(1, 2, 256, 256, 3).astype(np.float32)
+    model.feed_data({'lq': lq, 'gt': gt})
+    model.optimize_parameters(1)
+    assert np.isfinite(model.get_current_log()['l_pix'])
