@@ -182,6 +182,45 @@ def test_pallas_sampler_matches_gather(dg):
                                    err_msg=f'{name} grad mismatch')
 
 
+@pytest.mark.parametrize('method', ['onehot', 'pallas_interpret'])
+@pytest.mark.parametrize('stride,dilation', [(2, 1), (1, 2)])
+def test_samplers_with_stride_dilation(method, stride, dilation):
+    """Strided / dilated DCN must agree across sampler formulations."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(1, 12, 14, 4).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 4, 6).astype(np.float32))
+    ho = (12 + 2 - dilation * 2 - 1) // stride + 1
+    wo = (14 + 2 - dilation * 2 - 1) // stride + 1
+    offset = jnp.asarray(rng.randn(1, ho, wo, 2 * 2 * 9).astype(np.float32) * 2)
+    mask = jnp.asarray(rng.rand(1, ho, wo, 2 * 9).astype(np.float32))
+
+    def run(m):
+        return modulated_deform_conv(x, offset, mask, w, None, stride=stride,
+                                     padding=1, dilation=dilation,
+                                     deform_groups=2, method=m)
+
+    np.testing.assert_allclose(np.asarray(run(method)),
+                               np.asarray(run('gather')), rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_conv_all_methods():
+    """groups>1 weight contraction agrees across formulations."""
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.rand(2, 8, 8, 8).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 4, 8).astype(np.float32))  # groups=2
+    offset = jnp.asarray(rng.randn(2, 8, 8, 2 * 2 * 9).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 8, 8, 2 * 9).astype(np.float32))
+
+    def run(m):
+        return modulated_deform_conv(x, offset, mask, w, None, groups=2,
+                                     deform_groups=2, method=m)
+
+    ref = np.asarray(run('gather'))
+    for m in ('onehot', 'pallas_interpret'):
+        np.testing.assert_allclose(np.asarray(run(m)), ref, rtol=1e-5,
+                                   atol=1e-5, err_msg=m)
+
+
 def test_modulated_pack_module():
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.rand(2, 8, 8, 4).astype(np.float32))
