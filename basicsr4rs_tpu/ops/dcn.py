@@ -2,10 +2,16 @@
 
 Replaces the reference's hand-written CUDA extension
 (reference: basicsr/ops/dcn/src/deform_conv_cuda_kernel.cu:191-696 and the
-autograd wrappers in ops/dcn/deform_conv.py:121-374). Two interchangeable
+autograd wrappers in ops/dcn/deform_conv.py:121-374). Three interchangeable
 bilinear samplers sit behind one API:
 
-- **one-hot matmul** (TPU default): per-pixel bilinear sampling is two
+- **Pallas fused sampler** (TPU default when the per-group feature slab fits
+  VMEM): all K*K taps per 128-pixel tile with the slab VMEM-resident;
+  bilinear weights are hat functions relu(1-|pos-idx|) (row interpolation as
+  an MXU matmul, column interpolation a VPU reduction), with hand-written
+  forward AND backward kernels behind a custom VJP. 2x the one-hot
+  formulation on training steps, 378x the gather formulation.
+- **one-hot matmul** (TPU fallback for large slabs): per-pixel bilinear sampling is two
   separable interpolations — a row-interpolation matrix ``R (P, H)`` with two
   nonzeros per row applied on the MXU (``R @ X``), then a column
   interpolation as a small VPU reduction. No gather, no scatter: forward AND

@@ -11,8 +11,13 @@ branch output (C wide), ~6x less traffic. The window-packing trick from
 ``ops/window_attention.py`` (p windows per 128-wide MXU block, cross-window
 quadrants masked with -1e9) is reused for the attention dots.
 
-The residual add and DropPath stay OUTSIDE (the caller owns them), so the
-kernel computes exactly ``proj(attn(LN(x))) + b_proj``.
+DropPath stays OUTSIDE (the caller owns it). By default the kernel computes
+exactly ``proj(attn(LN(x))) + b_proj``; with ``add_residual`` the shortcut
+add folds in for free (the kernel input IS the rolled shortcut, and
+roll-back commutes with the addition) — used whenever DropPath is identity.
+Attention runs all heads in one batched matmul pair + one softmax, with
+q/k/v laid out head-major via axis-0 concatenation of lane slices (Mosaic
+allows one matmul batch dim and no lane-dim shape casts).
 
 Backward is a single Pallas kernel too: it recomputes LN/qkv/attention
 (flash-style — only x is saved) and emits gradients for x, the LN affine,
