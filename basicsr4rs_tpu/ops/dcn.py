@@ -336,8 +336,11 @@ def modulated_deform_conv(x: jnp.ndarray,
     xg_pad = jnp.pad(xg, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     if method == 'auto':
+        from .dispatch import pallas_ok
         if jax.default_backend() == 'cpu':
             method = 'gather'
+        elif not pallas_ok():
+            method = 'onehot'   # pure-XLA: SPMD-partitionable on a mesh
         else:
             # per-group slab must fit VMEM for the fused kernel
             slab = (-(-(h + 2) // 8) * 8) * (-(-((w + 2) * cpg) // 128) * 128) * 4

@@ -252,7 +252,9 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
       w1: (C, hidden); b1: (hidden,); w2: (hidden, C); b2: (C,).
     Returns: same shape as x — the MLP branch WITHOUT the residual.
     """
-    if not interpret and jax.default_backend() not in ('tpu',):
+    from .dispatch import pallas_ok
+    if not interpret and (jax.default_backend() not in ('tpu',)
+                          or not pallas_ok()):
         out = reference_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
         return x + out if add_residual else out
     shape = x.shape

@@ -308,7 +308,9 @@ def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
       bias: (nWb, heads, n, n) rel-pos bias (+ shift mask), nWb in {1, nW}.
     Returns: (B, H, W, C) — the attention branch WITHOUT the residual.
     """
-    if not interpret and jax.default_backend() not in ('tpu',):
+    from .dispatch import pallas_ok
+    if not interpret and (jax.default_backend() not in ('tpu',)
+                          or not pallas_ok()):
         out = reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
                                         wproj, bproj, bias, window_size,
                                         num_heads, scale)

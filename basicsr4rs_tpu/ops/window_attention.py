@@ -157,7 +157,9 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray, window_size: int
     backward kernel (flash-style — nothing but qkv is saved) and emits
     gradients for both ``qkv`` and ``bias`` (the relative-position table
     trains through the bias gather outside)."""
-    if not interpret and jax.default_backend() not in ('tpu',):
+    from .dispatch import pallas_ok
+    if not interpret and (jax.default_backend() not in ('tpu',)
+                          or not pallas_ok()):
         return reference_window_attention(qkv, bias, window_size, num_heads, scale)
     return _fused_fwd_vjp(window_size, num_heads, scale, interpret, qkv,
                           bias.astype(jnp.float32))

@@ -40,6 +40,11 @@ def create_mesh(opt: Optional[Dict[str, Any]] = None,
     if data * spatial != n:
         raise ValueError(f'parallel axes data={data} x spatial={spatial} != device count {n}')
     dev_array = np.asarray(devices).reshape(data, spatial)
+    # opaque single-device Pallas kernels cannot be SPMD-partitioned; flip
+    # every fused-kernel dispatch site to its XLA fallback on multi-device
+    # meshes (ops/dispatch.py)
+    from ..ops import dispatch
+    dispatch.set_multi_device(n > 1)
     return Mesh(dev_array, axis_names=('data', 'spatial'))
 
 
