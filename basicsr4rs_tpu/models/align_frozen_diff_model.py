@@ -110,6 +110,7 @@ class AlignFrozenDiffModel(L2SSingleModel):
         cond_lq = self.opt['network_g'].get('cond_lq', True)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
+        @self.kernel_scope()
         def step(state: TrainState, batch, rng):
             k_t, k_noise = jax.random.split(rng)
             bsz = batch['gt'].shape[0]
@@ -153,7 +154,7 @@ class AlignFrozenDiffModel(L2SSingleModel):
                     {'params': params}, x, t, **kwargs)
                 return self.base_diffusion.p_sample_loop(rng, lq, model,
                                                          first_stage_model=self.first_stage)
-            self._eval_fns[key] = jax.jit(sample)
+            self._eval_fns[key] = jax.jit(self.kernel_scope()(sample))
         self.rng, s_rng = jax.random.split(self.rng)
         out = self._eval_fns[key](params, lq, s_rng)
         self.output = _center_crop_to(out, self.batch['gt']) if 'gt' in self.batch else out

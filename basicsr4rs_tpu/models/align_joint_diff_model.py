@@ -64,6 +64,7 @@ class AlignJointDiffModel(AlignFrozenDiffModel):
         net_cls = type(self.net_g)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
+        @self.kernel_scope()
         def step(state: TrainState, batch, rng):
             k_t, k_noise = jax.random.split(rng)
             bsz = batch['gt'].shape[0]
@@ -166,7 +167,7 @@ class AlignJointDiffModel(AlignFrozenDiffModel):
                 keys = jax.random.split(k2, len(indices))
                 (z_final,), _ = jax.lax.scan(step_fn, (z_sample,), (jnp.asarray(indices), keys))
                 return apply(net_cls.apply_ae_decode, z_final)
-            self._eval_fns[key] = jax.jit(sample)
+            self._eval_fns[key] = jax.jit(self.kernel_scope()(sample))
         self.rng, s_rng = jax.random.split(self.rng)
         out = self._eval_fns[key](params, lq, s_rng)
         self.output = _center_crop_to(out, self.batch['gt']) if 'gt' in self.batch else out

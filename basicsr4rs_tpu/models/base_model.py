@@ -108,8 +108,20 @@ class BaseModel:
         self.mesh = create_mesh(opt)
         self.log_dict: Dict[str, float] = {}
         self.best_metric_results: Dict[str, Any] = {}
+        # Model rng is process-IDENTICAL on purpose: param init must agree
+        # across processes (the DDP-broadcast analog, reference
+        # base_model.py:95-103), and in-graph training randomness feeds ONE
+        # global SPMD computation — per-process divergence would silently
+        # corrupt the lockstep step. Per-rank DATA randomness comes from the
+        # loader seeds (seed + rank, utils/options.py), not from here.
         self.rng = jax.random.PRNGKey(opt.get('manual_seed', 0) or 0)
-        self.rng = jax.random.fold_in(self.rng, jax.process_index())
+
+    def kernel_scope(self):
+        """Trace-time dispatch scope for the fused Pallas kernels: open this
+        INSIDE every function handed to ``jax.jit`` so the ops shard_map
+        their kernels over exactly this model's mesh (ops/dispatch.py)."""
+        from ..ops.dispatch import kernel_mesh
+        return kernel_mesh(self.mesh)
 
     # ------------------------------------------------------------------ API
     def feed_data(self, data):

@@ -36,6 +36,7 @@ class _SynthesisMixin:
         self.pool_state = self.pool.init_state()
 
         @jax.jit
+        @self.kernel_scope()
         def synth(key, pool_state, gt, kernel1, kernel2, sinc_kernel):
             k_deg, k_crop, k_pool = jax.random.split(key, 3)
             lq, gt_out, gt_usm = self.degrader(k_deg, gt, kernel1, kernel2, sinc_kernel)

@@ -95,6 +95,7 @@ class ResShiftModel(SRRSModel):
             return self.net_g.apply({'params': params}, x, t, **kwargs)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
+        @self.kernel_scope()
         def train_step(state: TrainState, batch, rng):
             k_t, k_noise, k_loss = jax.random.split(rng, 3)
             bsz = batch['gt'].shape[0]
@@ -152,6 +153,6 @@ class ResShiftModel(SRRSModel):
                     **({'lq': lq} if self.opt['network_g'].get('cond_lq', True) else {}))
                 return self.base_diffusion.p_sample_loop(rng, lq, model,
                                                          first_stage_model=self.first_stage)
-            self._eval_fns[key] = jax.jit(sample)
+            self._eval_fns[key] = jax.jit(self.kernel_scope()(sample))
         self.rng, s_rng = jax.random.split(self.rng)
         self.output = self._eval_fns[key](params, lq, s_rng)

@@ -176,18 +176,19 @@ class SRModel(BaseModel):
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
-            (_, (losses, _, new_stats)), grads = jax.value_and_grad(
-                self._loss_terms, has_aux=True)(state.params, batch, state.stats)
-            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-            updates = self._postprocess_updates(updates, state.params, state.step)
-            params = optax.apply_updates(state.params, updates)
-            ema_params = state.ema_params
-            if ema_params is not None:
-                ema_params = ema_update(ema_params, params, ema_decay)
-            new_state = state.replace(step=state.step + 1, params=params,
-                                      ema_params=ema_params, opt_state=opt_state,
-                                      stats=new_stats)
-            return new_state, losses
+            with self.kernel_scope():
+                (_, (losses, _, new_stats)), grads = jax.value_and_grad(
+                    self._loss_terms, has_aux=True)(state.params, batch, state.stats)
+                updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+                updates = self._postprocess_updates(updates, state.params, state.step)
+                params = optax.apply_updates(state.params, updates)
+                ema_params = state.ema_params
+                if ema_params is not None:
+                    ema_params = ema_update(ema_params, params, ema_decay)
+                new_state = state.replace(step=state.step + 1, params=params,
+                                          ema_params=ema_params, opt_state=opt_state,
+                                          stats=new_stats)
+                return new_state, losses
 
         self._train_step = train_step
 
@@ -209,13 +210,41 @@ class SRModel(BaseModel):
         return int(self.state.step)
 
     # --------------------------------------------------------------- eval
+    def _localize_for_eval(self, params):
+        """Process-local copies of the (globally replicated) params + stats
+        for multi-process rank-strided validation: a jit over the global
+        mesh would require every process to run the SAME computation in
+        lockstep, but validation work is rank-disjoint by design (reference:
+        each rank evaluates on its own GPU, video_base_model.py:46-111).
+        Fully-replicated global arrays are host-readable, so localization
+        is one np.asarray per leaf, cached per training step."""
+        step = int(self.state.step)
+        cache = getattr(self, '_local_eval_cache', None)
+        if cache is None or cache[0] != step or cache[1] is not params:
+            local_p = jax.tree_util.tree_map(lambda v: jnp.asarray(np.asarray(v)), params)
+            local_s = jax.tree_util.tree_map(lambda v: jnp.asarray(np.asarray(v)),
+                                             self.state.stats)
+            self._local_eval_cache = (step, params, local_p, local_s)
+            cache = self._local_eval_cache
+        return cache[2], cache[3]
+
     def _eval_apply(self, params, lq):
         """Jitted forward, cached per input shape."""
+        stats = self.state.stats
+        local = jax.process_count() > 1
+        if local:
+            params, stats = self._localize_for_eval(params)
         key = (lq.shape, lq.dtype.name if hasattr(lq.dtype, 'name') else str(lq.dtype))
         if key not in self._eval_fns:
-            self._eval_fns[key] = jax.jit(
-                lambda p, s, x: self._apply_net_g(p, x, s, train=False)[0])
-        return self._eval_fns[key](params, self.state.stats, lq)
+            def eval_fn(p, s, x):
+                # process-local eval must not scope the GLOBAL mesh (its
+                # shard_map would span non-addressable devices)
+                import contextlib
+                scope = contextlib.nullcontext() if local else self.kernel_scope()
+                with scope:
+                    return self._apply_net_g(p, x, s, train=False)[0]
+            self._eval_fns[key] = jax.jit(eval_fn)
+        return self._eval_fns[key](params, stats, lq)
 
     def _test_params(self):
         if self.state.ema_params is not None:
@@ -317,7 +346,15 @@ class SRModel(BaseModel):
 
             if with_metrics:
                 for name, opt_ in self.opt['val']['metrics'].items():
-                    self.metric_results[name] += calculate_metric(metric_data, opt_)
+                    if str(opt_.get('type', '')).endswith(('_pt', '_jax')):
+                        # device-variant metrics evaluate straight from the
+                        # on-device output/gt — no numpy round-trip
+                        # (reference psnr_ssim.py:51,172 tensor semantics)
+                        device_data = {'img': self.output,
+                                       'img2': self.batch['gt']}
+                        self.metric_results[name] += calculate_metric(device_data, opt_)
+                    else:
+                        self.metric_results[name] += calculate_metric(metric_data, opt_)
             cnt += 1
 
         if with_metrics and cnt > 0:

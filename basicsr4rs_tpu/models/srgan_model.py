@@ -170,6 +170,7 @@ class SRGANModel(SRModel):
         net_d_init_iters = self.net_d_init_iters
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
+        @self.kernel_scope()
         def gan_step(g_state: TrainState, d_state: TrainState, batch):
             step1 = g_state.step + 1
             # ---- G phase (reference srgan_model.py:85-117)

@@ -126,6 +126,7 @@ class StyleGAN2Model(BaseModel):
         # scalars across the two states (double-donation error); params
         # buffers still get reused by XLA where safe.
         @jax.jit
+        @self.kernel_scope()
         def gan_step(g_state, d_state, real_img, rng):
             step1 = g_state.step + 1
             batch = real_img.shape[0]

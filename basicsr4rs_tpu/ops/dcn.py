@@ -158,7 +158,7 @@ def _dcn_pallas_fwd_kernel(k2: int, cpg: int):
     return kernel
 
 
-def _dcn_pallas_bwd_kernel(k2: int, cpg: int):
+def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int):
     from jax.experimental import pallas as pl
 
     def kernel(x_ref, xt_ref, pos_ref, g_ref, dx_ref, dpos_ref):
@@ -185,13 +185,26 @@ def _dcn_pallas_bwd_kernel(k2: int, cpg: int):
             dcw = dprod * t
             dx_acc = dx_acc + jnp.dot(r.T, dt, preferred_element_type=jnp.float32)
             dr = jnp.dot(dt, xt, preferred_element_type=jnp.float32)      # (BP, HP)
-            # d hat(d)/d pos = sign(d) on the open support |d| < 1
-            gy = jnp.where(jnp.abs(dy) < 1., jnp.sign(dy), 0.)
-            gx = jnp.where(jnp.abs(dw) < 1., jnp.sign(dw), 0.)
-            dpos_ref[0, :, 2 * k:2 * k + 1] = jnp.sum(
-                dr * gy, axis=1, keepdims=True).astype(dpos_ref.dtype)
-            dpos_ref[0, :, 2 * k + 1:2 * k + 2] = jnp.sum(
-                dcw * gx, axis=1, keepdims=True).astype(dpos_ref.dtype)
+            # d hat(d)/d pos, FLOOR convention: one-sided at integer
+            # positions so the gradient matches the gather/onehot bilinear
+            # paths (d out/d p = v[floor(p)+1] - v[floor(p)]). The naive
+            # sign(d) on |d| < 1 is identically zero at integer positions —
+            # and DCNv2Pack zero-inits its offset conv, so offsets would
+            # never train (ADVICE r2, high).
+            gy = jnp.where((dy > 0.) & (dy <= 1.), 1.,
+                           jnp.where((dy > -1.) & (dy <= 0.), -1., 0.))
+            gx = jnp.where((dw > 0.) & (dw <= 1.), 1.,
+                           jnp.where((dw > -1.) & (dw <= 0.), -1., 0.))
+            # the gather/onehot paths zero the position gradient when the
+            # sample sits ON or outside the border (their `inside` mask is
+            # the open interval); match that convention (padded coords:
+            # valid iff pos in (0, hp_true-1))
+            vy = ((pyy > 0.) & (pyy < hp_true - 1.)).astype(jnp.float32)
+            vx = ((pxx > 0.) & (pxx < wp_true - 1.)).astype(jnp.float32)
+            dpos_ref[0, :, 2 * k:2 * k + 1] = (jnp.sum(
+                dr * gy, axis=1, keepdims=True) * vy).astype(dpos_ref.dtype)
+            dpos_ref[0, :, 2 * k + 1:2 * k + 2] = (jnp.sum(
+                dcw * gx, axis=1, keepdims=True) * vx).astype(dpos_ref.dtype)
 
         @pl.when(pl.program_id(1) == 0)
         def _():
@@ -250,7 +263,7 @@ def _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret=False):
     xt = jnp.swapaxes(x2, 1, 2)
     grad_p = jnp.pad(grad.astype(xg_pad.dtype), ((0, 0), (0, 0), (0, 0), (0, p_pad - p)))
     dx, dpos = pl.pallas_call(
-        _dcn_pallas_bwd_kernel(k2, cpg),
+        _dcn_pallas_bwd_kernel(k2, cpg, hp, wp),
         grid=(g, p_pad // _BP),
         in_specs=[
             pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
@@ -263,13 +276,17 @@ def _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret=False):
             pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g, hp_pad, wc_pad), xg_pad.dtype),
+            # dx accumulates across pixel-tile grid revisits — keep the
+            # accumulator f32 (a serial bf16 accumulation would lose input-
+            # gradient precision vs the f32 onehot/gather paths; ADVICE r2)
+            # and cast to the input dtype once after the call.
+            jax.ShapeDtypeStruct((g, hp_pad, wc_pad), jnp.float32),
             jax.ShapeDtypeStruct((g, p_pad, 2 * k2), pos.dtype),
         ],
         interpret=interpret,
     )(x2, xt, pos_p, grad_p)
     wc = wp * cpg
-    dx = dx[:, :hp, :wc].reshape(g, hp, wp, cpg)
+    dx = dx[:, :hp, :wc].reshape(g, hp, wp, cpg).astype(xg_pad.dtype)
     return dx, dpos[:, :p]
 
 
@@ -335,12 +352,21 @@ def modulated_deform_conv(x: jnp.ndarray,
     # zero ring once: supplies exact zeros for border-adjacent samples
     xg_pad = jnp.pad(xg, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
+    from . import dispatch
+    mesh, mesh_data, mesh_spatial = dispatch.mesh_info()
+    # the fused sampler shards its fused (N*dg) leading dim over 'data'
+    # under shard_map; a spatially-sharded H would need halo exchange the
+    # kernel doesn't do -> one-hot (XLA partitions its einsums)
+    mesh_shardable = (mesh is None
+                      or (mesh_spatial == 1 and (n * dg) % mesh_data == 0))
+
     if method == 'auto':
-        from .dispatch import pallas_ok
-        if jax.default_backend() == 'cpu':
+        if dispatch.interpret_forced():
+            method = 'pallas_interpret' if mesh_shardable else 'onehot'
+        elif jax.default_backend() == 'cpu':
             method = 'gather'
-        elif not pallas_ok():
-            method = 'onehot'   # pure-XLA: SPMD-partitionable on a mesh
+        elif not mesh_shardable:
+            method = 'onehot'   # pure-XLA: SPMD-partitionable on any mesh
         else:
             # per-group slab must fit VMEM for the fused kernel
             slab = (-(-(h + 2) // 8) * 8) * (-(-((w + 2) * cpg) // 128) * 128) * 4
@@ -354,8 +380,17 @@ def modulated_deform_conv(x: jnp.ndarray,
         pxx = base_x[None, :, :, None, None] + kj + off[..., 1] + 1.0
         pos = jnp.stack([pyy, pxx], axis=-1)            # (n, ho, wo, dg, k2, 2)
         pos = pos.transpose(0, 3, 1, 2, 4, 5).reshape(n * dg, ho * wo, 2 * kh * kw)
-        patches = _sample_all_pallas(xg_pad, pos.astype(jnp.float32),
-                                     method == 'pallas_interpret')
+        interp = method == 'pallas_interpret'
+        if mesh is not None and mesh_shardable:
+            # shard the fused (N*dg) group dim over 'data': every operand is
+            # batch-sharded, so no collectives are needed in either direction
+            from jax.sharding import PartitionSpec as P
+            sampler_fn = dispatch.shard_wrap(
+                lambda xp, ps: _sample_all_pallas(xp, ps, interp), mesh,
+                in_specs=(P('data'), P('data')), out_specs=P('data'))
+            patches = sampler_fn(xg_pad, pos.astype(jnp.float32))
+        else:
+            patches = _sample_all_pallas(xg_pad, pos.astype(jnp.float32), interp)
         patches = patches.reshape(n, dg, kh * kw, cpg, ho, wo)
         sample = None
     else:

@@ -146,12 +146,15 @@ def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, dz_ref,
 
 def _token_tile(t: int, c: int, hidden: int, bwd: bool) -> int:
     """Token-tile size: multiple of 8 dividing t with the working set inside
-    ~6MB of VMEM (f32 x, xn, hidden x2, plus bf16 copies)."""
+    the VMEM budget (f32 x, xn, hidden x2, plus bf16 copies). The forward's
+    working set is smaller and its blocks pipeline cleanly, so it gets a
+    larger budget — fewer grid steps, less per-step overhead."""
     per_token = (c * 3 + hidden * (3 if bwd else 2)) * 4
+    budget = 6e6 if bwd else 11e6
     best = 8
     tile = 8
     while tile <= t:
-        if t % tile == 0 and tile * per_token <= 6e6:
+        if t % tile == 0 and tile * per_token <= budget:
             best = tile
         tile += 8
     return best
@@ -164,6 +167,8 @@ def _const_spec(shape):
 
 def _mlp_forward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, b2):
     from jax.experimental import pallas as pl
+
+    from jax.experimental.pallas import tpu as pltpu
 
     t, c = x2.shape
     hidden = w1.shape[1]
@@ -179,6 +184,8 @@ def _mlp_forward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, b2)
             _const_spec((hidden, c)), _const_spec((1, c)),
         ],
         out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',)),
         interpret=interpret,
     )(x2, ln_scale[None], ln_bias[None], w1.astype(x2.dtype), b1[None],
       w2.astype(x2.dtype), b2[None])
@@ -252,15 +259,48 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
       w1: (C, hidden); b1: (hidden,); w2: (hidden, C); b2: (C,).
     Returns: same shape as x — the MLP branch WITHOUT the residual.
     """
-    from .dispatch import pallas_ok
-    if not interpret and (jax.default_backend() not in ('tpu',)
-                          or not pallas_ok()):
+    from . import dispatch
+    interpret = interpret or dispatch.interpret_forced()
+    if not interpret and jax.default_backend() not in ('tpu',):
         out = reference_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
         return x + out if add_residual else out
     shape = x.shape
     c = shape[-1]
+    args = (ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+            w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32))
+
+    mesh, data, spatial = dispatch.mesh_info()
+    if mesh is not None:
+        # multi-device: run the kernel per-shard under shard_map (batch over
+        # 'data', dim-1 over 'spatial'; weights replicated, their grads
+        # psum'd by the shard_map transpose)
+        from jax.sharding import PartitionSpec as P
+        sharded = (x.ndim >= 2 and x.shape[0] % data == 0
+                   and (spatial == 1 or (x.ndim >= 3 and x.shape[1] % spatial == 0)))
+        local_t = x.size // c // (data * spatial)
+        if not sharded or local_t % 8 != 0:
+            # un-shardable geometry (val batches of 1, odd shapes): the XLA
+            # reference partitions cleanly
+            out = reference_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
+            return x + out if add_residual else out
+        spec = P('data', 'spatial') if spatial > 1 else P('data')
+
+        def core(xl, lns, lnb, w1_, b1_, w2_, b2_):
+            out = _mlp_vjp(interpret, add_residual, xl.reshape(-1, c), lns,
+                           lnb, w1_, b1_, w2_, b2_)
+            return out.reshape(xl.shape)
+
+        fn = dispatch.shard_wrap(core, mesh,
+                                 in_specs=(spec,) + (P(),) * 6, out_specs=spec)
+        return fn(x, *args)
+
     x2 = x.reshape(-1, c)
-    out = _mlp_vjp(interpret, add_residual, x2, ln_scale.astype(jnp.float32),
-                   ln_bias.astype(jnp.float32), w1, b1.astype(jnp.float32),
-                   w2, b2.astype(jnp.float32))
+    if x2.shape[0] % 8 != 0:
+        # the (t // tile,) grid would silently leave the last t % 8 rows
+        # unwritten (undefined memory) — fail loudly instead (ADVICE r2).
+        # SwinIR never hits this (inputs are padded to window multiples).
+        raise ValueError(
+            f'fused_mlp_block: flattened token count {x2.shape[0]} must be a '
+            'multiple of 8 (pad the token dim or use reference_mlp_block)')
+    out = _mlp_vjp(interpret, add_residual, x2, *args)
     return out.reshape(shape)

@@ -308,25 +308,54 @@ def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
       bias: (nWb, heads, n, n) rel-pos bias (+ shift mask), nWb in {1, nW}.
     Returns: (B, H, W, C) — the attention branch WITHOUT the residual.
     """
-    from .dispatch import pallas_ok
-    if not interpret and (jax.default_backend() not in ('tpu',)
-                          or not pallas_ok()):
+    from . import dispatch
+    interpret = interpret or dispatch.interpret_forced()
+    if not interpret and jax.default_backend() not in ('tpu',):
         out = reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
                                         wproj, bproj, bias, window_size,
                                         num_heads, scale)
         return x + out if add_residual else out
-    return _fused_block_vjp(window_size, num_heads, scale, interpret, add_residual,
-                            x, ln_scale.astype(jnp.float32),
-                            ln_bias.astype(jnp.float32), wqkv, bqkv.astype(jnp.float32),
-                            wproj, bproj.astype(jnp.float32),
-                            bias.astype(jnp.float32))
+    args = (x, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+            wqkv, bqkv.astype(jnp.float32), wproj, bproj.astype(jnp.float32),
+            bias.astype(jnp.float32))
+
+    mesh, data, spatial = dispatch.mesh_info()
+    if mesh is not None:
+        # multi-device: per-shard kernel under shard_map. Batch shards over
+        # 'data'; H shards over 'spatial' iff every shard keeps whole window
+        # rows. A per-window bias (shift masks, nWb = nwh*nww row-major)
+        # shards its window axis over 'spatial' so shard-local window-row
+        # indices hit the right mask rows; weight/bias cotangents are
+        # psum'd over unmapped axes by the shard_map transpose.
+        from jax.sharding import PartitionSpec as P
+        b, h, w, _ = x.shape
+        nwb = bias.shape[0]
+        ok = (b % data == 0 and h % (spatial * window_size) == 0
+              and (nwb == 1
+                   or nwb == (h // window_size) * (w // window_size)))
+        if not ok:
+            out = reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
+                                            wproj, bproj, bias, window_size,
+                                            num_heads, scale)
+            return x + out if add_residual else out
+        xspec = P('data', 'spatial') if spatial > 1 else P('data')
+        bias_spec = P('spatial') if (spatial > 1 and nwb > 1) else P()
+        core = functools.partial(_fused_block_vjp, window_size, num_heads,
+                                 scale, interpret, add_residual)
+        fn = dispatch.shard_wrap(
+            core, mesh, in_specs=(xspec,) + (P(),) * 6 + (bias_spec,),
+            out_specs=xspec)
+        return fn(*args)
+
+    return _fused_block_vjp(window_size, num_heads, scale, interpret,
+                            add_residual, *args)
 
 
-def _geometry(x, window_size, num_heads):
+def _geometry(x, window_size, num_heads, bwd=True):
     b, h, w, c = x.shape
     ws, n = window_size, window_size * window_size
     pack = _pack_factor(n, w // ws)
-    cw = _chunk_cols(w, ws, pack, c, num_heads, bwd=True)
+    cw = _chunk_cols(w, ws, pack, c, num_heads, bwd=bwd)
     return b, h, w, c, ws, n, pack, cw
 
 
@@ -353,8 +382,13 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
                          add_residual, x, ln_scale, ln_bias, wqkv, bqkv,
                          wproj, bproj, bias):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size, num_heads)
+    # forward-specific chunk sizing (the backward's working set is ~2.5x
+    # larger; sizing the forward by it would halve the chunk width and
+    # double the grid-step overhead)
+    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size, num_heads,
+                                            bwd=False)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
     bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
@@ -375,6 +409,10 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
             bias_spec,
         ],
         out_specs=pl.BlockSpec((1, ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
+        # every forward grid cell is independent — let Mosaic reorder and
+        # pipeline freely
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel')),
         interpret=interpret,
     )(x, ln_scale[None], ln_bias[None], wqkv.astype(x.dtype), bqkv[None],
       wproj.astype(x.dtype), bproj[None], bias_p)

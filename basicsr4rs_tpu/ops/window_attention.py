@@ -157,10 +157,33 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray, window_size: int
     backward kernel (flash-style — nothing but qkv is saved) and emits
     gradients for both ``qkv`` and ``bias`` (the relative-position table
     trains through the bias gather outside)."""
-    from .dispatch import pallas_ok
-    if not interpret and (jax.default_backend() not in ('tpu',)
-                          or not pallas_ok()):
+    from . import dispatch
+    interpret = interpret or dispatch.interpret_forced()
+    if not interpret and jax.default_backend() not in ('tpu',):
         return reference_window_attention(qkv, bias, window_size, num_heads, scale)
+
+    mesh, data, spatial = dispatch.mesh_info()
+    if mesh is not None:
+        # multi-device: per-shard kernel under shard_map (batch over 'data',
+        # whole window rows over 'spatial'; per-window bias shards its
+        # row-major window axis, see fused_swin_attn_block)
+        from jax.sharding import PartitionSpec as P
+        b, h, w, _ = qkv.shape
+        nwb = bias.shape[0]
+        ok = (b % data == 0 and h % (spatial * window_size) == 0
+              and (nwb == 1
+                   or nwb == (h // window_size) * (w // window_size)))
+        if not ok:
+            return reference_window_attention(qkv, bias, window_size,
+                                              num_heads, scale)
+        qspec = P('data', 'spatial') if spatial > 1 else P('data')
+        bias_spec = P('spatial') if (spatial > 1 and nwb > 1) else P()
+        core = functools.partial(_fused_fwd_vjp, window_size, num_heads,
+                                 scale, interpret)
+        fn = dispatch.shard_wrap(core, mesh, in_specs=(qspec, bias_spec),
+                                 out_specs=qspec)
+        return fn(qkv, bias.astype(jnp.float32))
+
     return _fused_fwd_vjp(window_size, num_heads, scale, interpret, qkv,
                           bias.astype(jnp.float32))
 

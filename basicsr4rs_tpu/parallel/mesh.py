@@ -40,11 +40,10 @@ def create_mesh(opt: Optional[Dict[str, Any]] = None,
     if data * spatial != n:
         raise ValueError(f'parallel axes data={data} x spatial={spatial} != device count {n}')
     dev_array = np.asarray(devices).reshape(data, spatial)
-    # opaque single-device Pallas kernels cannot be SPMD-partitioned; flip
-    # every fused-kernel dispatch site to its XLA fallback on multi-device
-    # meshes (ops/dispatch.py)
-    from ..ops import dispatch
-    dispatch.set_multi_device(n > 1)
+    # NOTE: fused-kernel dispatch is mesh-SCOPED, not global — models open
+    # ``ops.dispatch.kernel_mesh(mesh)`` inside their jitted step bodies so
+    # the Pallas kernels are shard_map'ped over exactly this mesh (and
+    # unrelated meshes in the same process can never alias each other).
     return Mesh(dev_array, axis_names=('data', 'spatial'))
 
 
@@ -58,19 +57,36 @@ def batch_spec(mesh: Mesh, spatial_sharded: bool = False) -> P:
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, spatial_sharded: bool = False):
     """Device-put array leaves of a host batch with batch sharding; leave
-    non-arrays (paths, strings) on host. Leaves whose leading dim is not
-    divisible by the data-axis size (e.g. val batches of 1) are replicated
-    instead — the computation then runs replicated, which is the single-
-    device evaluation path."""
+    non-arrays (paths, strings) on host.
+
+    Single process: leaves whose leading dim is not divisible by the
+    data-axis size (e.g. val batches of 1) are replicated instead — the
+    computation then runs replicated, the single-device evaluation path.
+
+    Multi-process (``jax.distributed``): each process's loader yields its
+    rank's LOCAL portion (EnlargedSampler rank striding), so shardable
+    leaves are assembled into global arrays with
+    ``jax.make_array_from_process_local_data`` (device_put cannot target
+    non-addressable devices). Un-shardable leaves stay process-local host
+    arrays: rank-disjoint validation work must NOT become a lockstep global
+    computation (reference analog: each rank evaluates on its own GPU,
+    video_base_model.py:46-111)."""
     spec = batch_spec(mesh, spatial_sharded)
     sharded = NamedSharding(mesh, spec)
     replicated = NamedSharding(mesh, P())
     data_size = mesh.shape.get('data', 1)
+    nproc = jax.process_count()
 
     def put(v):
         if isinstance(v, jax.Array):
             return v  # already on device (device prefetcher path)
         if isinstance(v, np.ndarray) and v.ndim >= 1:
+            if nproc > 1:
+                local_rows = data_size // nproc
+                if (data_size % nproc == 0 and local_rows > 0
+                        and v.shape[0] % local_rows == 0):
+                    return jax.make_array_from_process_local_data(sharded, v)
+                return v  # process-local (rank-disjoint validation)
             if v.shape[0] % data_size == 0:
                 return jax.device_put(v, sharded)
             return jax.device_put(v, replicated)
@@ -81,8 +97,14 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, spatial_sharded: bool = False
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree over the mesh."""
+    """Fully replicate a pytree over the mesh (all processes must hold
+    identical host values in multi-process runs — true for seeded init and
+    checkpoint loads)."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda v: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v), np.shape(v)), tree)
     return jax.device_put(tree, sharding)
 
 

@@ -75,12 +75,15 @@ def test_srmodel_train_loss_decreases(tmp_path):
     gt = np.repeat(np.repeat(lq, 4, axis=1), 4, axis=2)  # easy target
     model.feed_data({'lq': lq, 'gt': gt})
     losses = []
-    for i in range(1, 21):
+    # 100 steps: at lr 1e-2 some inits overshoot for the first ~30 steps
+    # before converging (exact training dynamics are pinned against torch in
+    # tests/test_pipelines/test_train_parity.py; this is only a smoke)
+    for i in range(1, 101):
         model.optimize_parameters(i)
         losses.append(model.get_current_log()['l_pix'])
     assert 'l_pix' in model.get_current_log()
     assert losses[-1] < losses[0] * 0.9, f'loss did not decrease: {losses[0]} -> {losses[-1]}'
-    assert model.current_step() == 20
+    assert model.current_step() == 100
 
 
 def test_srmodel_test_and_ema(tmp_path):

@@ -221,6 +221,29 @@ def test_grouped_conv_all_methods():
                                    atol=1e-5, err_msg=m)
 
 
+@pytest.mark.parametrize('method', ['onehot', 'pallas_interpret'])
+def test_offset_grad_nonzero_at_integer_positions(method):
+    """At EXACTLY zero offsets (DCNv2Pack's init state: zero-init offset
+    conv), the offset gradient must match the gather path's floor-convention
+    one-sided bilinear derivative — NOT be zero. A symmetric hat-function
+    derivative is identically zero at integer sampling positions, which
+    would freeze offset training forever from init (ADVICE r2, high)."""
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.rand(1, 8, 8, 4).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 4, 4).astype(np.float32))
+    offset = jnp.zeros((1, 8, 8, 18), jnp.float32)
+    mask = jnp.ones((1, 8, 8, 9), jnp.float32)
+
+    def loss(m, off):
+        return jnp.sum(modulated_deform_conv(x, off, mask, w, None, method=m) ** 2)
+
+    g = jax.grad(lambda off: loss(method, off))(offset)
+    g_ref = jax.grad(lambda off: loss('gather', off))(offset)
+    assert float(jnp.abs(g).mean()) > 1e-3, 'offset grad vanished at init'
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_modulated_pack_module():
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.rand(2, 8, 8, 4).astype(np.float32))
