@@ -164,6 +164,45 @@ def calculate_psnr_jax(img, img2, crop_border: int, test_y_channel: bool = False
     return -10. * jnp.log10(mse)
 
 
+def _to_nhwc01(img):
+    """Coerce a metric input to an NHWC [0,1] device array: accepts device
+    NHWC floats (validation outputs), HWC numpy uint8 (tensor2img results —
+    rescaled /255), or HWC float (assumed [0,1], the tensor convention of
+    the reference ``_pt`` variants)."""
+    import jax.numpy as jnp
+    arr = jnp.asarray(img)
+    scale = 1. / 255. if arr.dtype == jnp.uint8 else 1.
+    arr = arr.astype(jnp.float32) * scale
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.ndim == 3:
+        arr = arr[None]
+    return arr
+
+
+@METRIC_REGISTRY.register()
+def calculate_psnr_pt(img, img2, crop_border: int, test_y_channel: bool = False,
+                      **kwargs) -> float:
+    """Tensor-input PSNR (reference psnr_ssim.py:51-90): device math on
+    NHWC [0,1] batches, returns the batch-mean dB as a float. Registered so
+    reference configs naming ``calculate_psnr_pt`` build unchanged."""
+    import jax.numpy as jnp
+    val = calculate_psnr_jax(_to_nhwc01(img), _to_nhwc01(img2), crop_border,
+                             test_y_channel)
+    return float(jnp.mean(val))
+
+
+@METRIC_REGISTRY.register()
+def calculate_ssim_pt(img, img2, crop_border: int, test_y_channel: bool = False,
+                      **kwargs) -> float:
+    """Tensor-input SSIM (reference psnr_ssim.py:172-245); see
+    :func:`calculate_psnr_pt`."""
+    import jax.numpy as jnp
+    val = calculate_ssim_jax(_to_nhwc01(img), _to_nhwc01(img2), crop_border,
+                             test_y_channel)
+    return float(jnp.mean(val))
+
+
 def calculate_ssim_jax(img, img2, crop_border: int, test_y_channel: bool = False):
     """Batched SSIM on NHWC [0,1] arrays via depthwise valid conv."""
     import jax
@@ -199,3 +238,11 @@ def calculate_ssim_jax(img, img2, crop_border: int, test_y_channel: bool = False
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
     return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+# Registry aliases: configs may name the device variants directly. The raw
+# ``calculate_*_jax`` functions return per-sample arrays for in-graph use, so
+# the registry entries point at the float-returning ``_pt`` wrappers (same
+# math, same device execution).
+METRIC_REGISTRY.register(calculate_psnr_pt, name='calculate_psnr_jax')
+METRIC_REGISTRY.register(calculate_ssim_pt, name='calculate_ssim_jax')

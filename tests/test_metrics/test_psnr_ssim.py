@@ -66,3 +66,32 @@ def test_jax_variants_match_numpy():
     sj = float(np.asarray(calculate_ssim_jax(jnp.array(a01), jnp.array(b01), 4))[0])
     assert pj == pytest.approx(calculate_psnr(a, b, crop_border=4), abs=1e-2)
     assert sj == pytest.approx(calculate_ssim(a, b, crop_border=4), abs=1e-3)
+
+
+def test_pt_and_jax_registry_names_resolve():
+    """Reference configs naming calculate_psnr_pt / calculate_ssim_pt (and
+    the device _jax aliases) must build through the registry and agree with
+    the numpy ground truth (VERDICT r2 #7)."""
+    from basicsr4rs_tpu.metrics import calculate_metric
+    from basicsr4rs_tpu.utils.registry import METRIC_REGISTRY
+    for name in ('calculate_psnr_pt', 'calculate_ssim_pt',
+                 'calculate_psnr_jax', 'calculate_ssim_jax'):
+        assert name in METRIC_REGISTRY
+
+    a, b = _pair()
+    # uint8 HWC inputs (the tensor2img form) are coerced on device
+    p = calculate_metric({'img': a.astype(np.uint8), 'img2': b.astype(np.uint8)},
+                         {'type': 'calculate_psnr_pt', 'crop_border': 4})
+    s = calculate_metric({'img': a.astype(np.uint8), 'img2': b.astype(np.uint8)},
+                         {'type': 'calculate_ssim_pt', 'crop_border': 4})
+    assert isinstance(p, float) and isinstance(s, float)
+    assert p == pytest.approx(calculate_psnr(a, b, crop_border=4), abs=1e-2)
+    assert s == pytest.approx(calculate_ssim(a, b, crop_border=4), abs=1e-3)
+
+    # NHWC [0,1] device batches (the validation-path form)
+    import jax.numpy as jnp
+    a01 = jnp.asarray((a / 255.).astype(np.float32)[None])
+    b01 = jnp.asarray((b / 255.).astype(np.float32)[None])
+    p2 = calculate_metric({'img': a01, 'img2': b01},
+                          {'type': 'calculate_psnr_jax', 'crop_border': 4})
+    assert p2 == pytest.approx(calculate_psnr(a, b, crop_border=4), abs=1e-2)

@@ -1,0 +1,219 @@
+"""Training-TRAJECTORY parity vs the reference torch semantics (VERDICT r2
+#4): zero-egress leaves checkpoint-quality anchors untestable, but training
+*dynamics* can be proven locally — identical init, identical batches, N SGD
+steps in both frameworks must produce matching loss curves. This fails if
+optimizer wiring, loss reductions, EMA semantics or the G/D gating ever
+drift from the reference (basicsr/models/sr_model.py:91-129,
+srgan_model.py:85-141, base_model.py:75-85).
+
+torch (CPU) drives the actual reference arch modules via ref_loader; the
+JAX side runs through the REAL model classes (SRModel / SRGANModel), not
+raw nets — the model lifecycle is the thing under test.
+"""
+
+import sys
+from os import path as osp
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
+from ref_loader import load_ref_module  # noqa: E402
+
+from basicsr4rs_tpu.models import build_model  # noqa: E402
+from basicsr4rs_tpu.utils.options import yaml_load  # noqa: E402
+from basicsr4rs_tpu.utils.torch_convert import convert_torch_state_dict  # noqa: E402
+
+N_STEPS = 50
+LR = 1e-2
+EMA = 0.9
+
+
+def _batches(n, batch=4, lr_size=8, scale=4, seed=7):
+    rng = np.random.RandomState(seed)
+    for _ in range(n):
+        yield (rng.rand(batch, lr_size, lr_size, 3).astype(np.float32),
+               rng.rand(batch, lr_size * scale, lr_size * scale, 3).astype(np.float32))
+
+
+def test_msrresnet_sgd_trajectory_matches_torch():
+    import torch
+
+    ref_mod = load_ref_module('basicsr/archs/srresnet_arch.py')
+    torch.manual_seed(0)
+    net_t = ref_mod.MSRResNet(num_in_ch=3, num_out_ch=3, num_feat=8,
+                              num_block=2, upscale=4).train()
+    params = convert_torch_state_dict(net_t.state_dict())
+
+    opt = yaml_load(f"""
+name: parity_sr
+model_type: SRModel
+scale: 4
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+network_g: {{type: MSRResNet, num_in_ch: 3, num_out_ch: 3, num_feat: 8, num_block: 2, upscale: 4}}
+path: {{pretrain_network_g: ~}}
+train:
+  ema_decay: {EMA}
+  optim_g: {{type: SGD, lr: !!float {LR}}}
+  scheduler: {{type: ConstantLR}}
+  total_iter: 1000
+  pixel_opt: {{type: L1Loss, loss_weight: 1.0, reduction: mean}}
+val: {{val_freq: 1000}}
+""")
+    model = build_model(opt)
+    model.params = params
+    model.setup_optimizers()
+
+    opt_t = torch.optim.SGD(net_t.parameters(), lr=LR)
+    ema_t = {k: v.detach().clone() for k, v in net_t.state_dict().items()}
+    crit = torch.nn.L1Loss()
+
+    losses_j, losses_t = [], []
+    for lq, gt in _batches(N_STEPS):
+        model.feed_data({'lq': lq, 'gt': gt})
+        model.optimize_parameters(1)
+        losses_j.append(float(model.get_current_log()['l_pix']))
+
+        lq_t = torch.from_numpy(np.ascontiguousarray(lq.transpose(0, 3, 1, 2)))
+        gt_t = torch.from_numpy(np.ascontiguousarray(gt.transpose(0, 3, 1, 2)))
+        opt_t.zero_grad()
+        loss_t = crit(net_t(lq_t), gt_t)
+        loss_t.backward()
+        opt_t.step()
+        losses_t.append(float(loss_t.detach()))
+        with torch.no_grad():
+            # reference model_ema (base_model.py:75-85)
+            sd = net_t.state_dict()
+            for k in ema_t:
+                ema_t[k].mul_(EMA).add_(sd[k], alpha=1 - EMA)
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-4, atol=2e-5,
+                               err_msg='SGD loss trajectories diverged')
+    # trained (first vs last loss differ measurably)
+    assert abs(losses_t[0] - losses_t[-1]) > 1e-4
+
+    # EMA parity after N steps: our in-step EMA == reference lerp
+    ema_j_want = convert_torch_state_dict({k: v for k, v in ema_t.items()})
+    got_flat = dict(_flatten(model.state.ema_params))
+    want_flat = dict(_flatten(ema_j_want))
+    assert set(got_flat) == set(want_flat)
+    for k in want_flat:
+        np.testing.assert_allclose(np.asarray(got_flat[k]), np.asarray(want_flat[k]),
+                                   rtol=1e-3, atol=1e-5, err_msg=f'EMA drift at {k}')
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield '/'.join(prefix), tree
+
+
+def test_srgan_gd_cycle_matches_torch():
+    """Two full G/D cycles of SRGAN: G gets pixel + GAN loss with D frozen,
+    then D trains on real and detached-fake (reference srgan_model.py:85-141
+    ordering, including net_d_iters gating at 1/0)."""
+    import torch
+    import torch.nn.functional as F
+
+    ref_sr = load_ref_module('basicsr/archs/srresnet_arch.py')
+    ref_d = load_ref_module('basicsr/archs/discriminator_arch.py')
+    torch.manual_seed(1)
+    net_g_t = ref_sr.MSRResNet(num_in_ch=3, num_out_ch=3, num_feat=8,
+                               num_block=1, upscale=4).train()
+    net_d_t = ref_d.VGGStyleDiscriminator(num_in_ch=3, num_feat=4).train()
+
+    g_params = convert_torch_state_dict(net_g_t.state_dict())
+    # BN running stats live in flax batch_stats, not params — and both
+    # frameworks init them identically (mean 0, var 1), so filtering them
+    # from the converted tree keeps init parity exact.
+    from basicsr4rs_tpu.archs.discriminator_arch import VGGStyleDiscriminator
+    d_sd = {k: v for k, v in net_d_t.state_dict().items()
+            if not k.endswith(('running_mean', 'running_var'))}
+    d_params = convert_torch_state_dict(d_sd,
+                                        rules=VGGStyleDiscriminator.TORCH_KEY_RULES)
+
+    opt = yaml_load(f"""
+name: parity_srgan
+model_type: SRGANModel
+scale: 4
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+network_g: {{type: MSRResNet, num_in_ch: 3, num_out_ch: 3, num_feat: 8, num_block: 1, upscale: 4}}
+network_d: {{type: VGGStyleDiscriminator, num_in_ch: 3, num_feat: 4}}
+path: {{pretrain_network_g: ~, pretrain_network_d: ~}}
+train:
+  ema_decay: 0
+  net_d_iters: 1
+  net_d_init_iters: 0
+  optim_g: {{type: SGD, lr: !!float {LR}}}
+  optim_d: {{type: SGD, lr: !!float {LR}}}
+  scheduler: {{type: ConstantLR}}
+  total_iter: 1000
+  pixel_opt: {{type: L1Loss, loss_weight: 1.0, reduction: mean}}
+  gan_opt: {{type: GANLoss, gan_type: vanilla, real_label_val: 1.0, fake_label_val: 0.0, loss_weight: 0.1}}
+val: {{val_freq: 1000}}
+""")
+    model = build_model(opt)
+    from basicsr4rs_tpu.parallel.mesh import replicate
+    model.state = replicate(
+        model.state.replace(params=g_params,
+                            opt_state=model.tx_g.init(g_params)), model.mesh)
+    model.d_state = replicate(
+        model.d_state.replace(params=d_params,
+                              opt_state=model.tx_d.init(d_params)), model.mesh)
+
+    opt_g = torch.optim.SGD(net_g_t.parameters(), lr=LR)
+    opt_d = torch.optim.SGD(net_d_t.parameters(), lr=LR)
+
+    logs_j, logs_t = [], []
+    for lq, gt in _batches(3, batch=2, lr_size=32, seed=11):
+        model.feed_data({'lq': lq, 'gt': gt})
+        model.optimize_parameters(1)
+        log = model.get_current_log()
+        logs_j.append({k: float(v) for k, v in log.items()})
+
+        lq_t = torch.from_numpy(np.ascontiguousarray(lq.transpose(0, 3, 1, 2)))
+        gt_t = torch.from_numpy(np.ascontiguousarray(gt.transpose(0, 3, 1, 2)))
+        # ---- G step (reference srgan_model.py:85-117)
+        for p in net_d_t.parameters():
+            p.requires_grad = False
+        opt_g.zero_grad()
+        out = net_g_t(lq_t)
+        l_g_pix = F.l1_loss(out, gt_t)
+        fake_pred = net_d_t(out)
+        l_g_gan = 0.1 * F.binary_cross_entropy_with_logits(
+            fake_pred, torch.ones_like(fake_pred))
+        (l_g_pix + l_g_gan).backward()
+        opt_g.step()
+        # ---- D step (reference srgan_model.py:120-136)
+        for p in net_d_t.parameters():
+            p.requires_grad = True
+        opt_d.zero_grad()
+        real_pred = net_d_t(gt_t)
+        l_d_real = F.binary_cross_entropy_with_logits(
+            real_pred, torch.ones_like(real_pred))
+        l_d_real.backward()
+        fake_pred_d = net_d_t(out.detach())
+        l_d_fake = F.binary_cross_entropy_with_logits(
+            fake_pred_d, torch.zeros_like(fake_pred_d))
+        l_d_fake.backward()
+        opt_d.step()
+        logs_t.append({'l_g_pix': float(l_g_pix.detach()), 'l_g_gan': float(l_g_gan.detach()),
+                       'l_d_real': float(l_d_real.detach()), 'l_d_fake': float(l_d_fake.detach())})
+
+    for i, (lj, lt) in enumerate(zip(logs_j, logs_t)):
+        for k, want in lt.items():
+            assert k in lj, f'step {i}: missing log key {k}'
+            assert lj[k] == pytest.approx(want, rel=2e-3, abs=2e-4), (
+                f'step {i} {k}: jax {lj[k]} vs torch {want}')
