@@ -126,27 +126,30 @@ def _split_heads(qkv3, num_heads, c):
     return part(0), part(1), part(2)
 
 
-def _attention_probs(qkv3, bias_ref, num_heads, c, scale, broadcast_bias):
+def _attention_probs(qkv3, bias_arr, num_heads, c, scale, broadcast_bias):
     """Head-batched scores + softmax: returns (p, v) with
-    p (heads*ng, pn, pn) f32 and v (heads*ng, pn, hd). bias_ref is packed
-    head-major: (heads, nWb, pn, pn)."""
+    p (heads*ng, pn, pn) f32 and v (heads*ng, pn, hd). bias_arr is packed
+    head-major: (heads, 1|ng, pn, pn)."""
     ng, pn, _ = qkv3.shape
     q, k, v = _split_heads(qkv3, num_heads, c)
     s = jax.lax.dot_general(q.astype(jnp.float32) * scale, k.astype(jnp.float32),
                             (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     s4 = s.reshape(num_heads, ng, pn, pn)
-    p = jax.nn.softmax(s4 + bias_ref[...], axis=-1)   # (heads, 1|ng, pn, pn)
+    p = jax.nn.softmax(s4 + bias_arr, axis=-1)   # (heads, 1|ng, pn, pn)
     return p.reshape(num_heads * ng, pn, pn), v
 
 
-def _attention_heads(qkv3, bias_ref, num_heads, c, scale, broadcast_bias,
+def _attention_heads(qkv3, bias_arr, num_heads, c, scale, broadcast_bias,
                      out_dtype):
     """qkv3: (ng, pn, 3C) -> attention output (ng, pn, C). All heads in one
     batched matmul pair + one softmax (batch dim heads*ng)."""
+    if _head_loop():
+        return _attention_heads_looped(qkv3, bias_arr, num_heads, c, scale,
+                                       out_dtype)
     ng, pn, _ = qkv3.shape
     hd = c // num_heads
-    p, v = _attention_probs(qkv3, bias_ref, num_heads, c, scale, broadcast_bias)
+    p, v = _attention_probs(qkv3, bias_arr, num_heads, c, scale, broadcast_bias)
     o = jax.lax.dot_general(p.astype(out_dtype), v,
                             (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
@@ -154,29 +157,55 @@ def _attention_heads(qkv3, bias_ref, num_heads, c, scale, broadcast_bias,
                            axis=-1)
 
 
+def _attention_heads_looped(qkv3, bias_arr, num_heads, c, scale, out_dtype):
+    """Per-head static loop on direct lane slices (no axis-0 concat
+    relayouts); bias_arr broadcasts over ng when its dim-1 is 1."""
+    ng, pn, _ = qkv3.shape
+    hd = c // num_heads
+    outs = []
+    for h in range(num_heads):
+        q = qkv3[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv3[:, :, c + h * hd:c + (h + 1) * hd].astype(jnp.float32)
+        v = qkv3[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s + bias_arr[h], axis=-1)
+        o = jax.lax.dot_general(p.astype(out_dtype), v,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        outs.append(o)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                       bproj_ref, bias_ref, out_ref, *, ws, num_heads, c,
-                      scale, broadcast_bias, pack, add_residual):
-    x = x_ref[0]                               # (ws, CW, C)
-    cw = x.shape[1]
+                      scale, broadcast_bias, pack, add_residual, rows=1):
+    xall = x_ref[0]                            # (rows*ws, CW, C)
+    cw = xall.shape[1]
     nw = cw // ws
     n = ws * ws
     ng, pn = nw // pack, pack * n
-    dt = x.dtype
+    dt = xall.dtype
+    bias_all = bias_ref[...]                   # (heads, 1 | rows*ng, pn, pn)
 
-    xw = _window_pack(x, ws, nw, pack, c)      # (T, C)
-    xn, _, _ = _ln_forward(xw.astype(jnp.float32), lns_ref[0], lnb_ref[0])
-    qkv = jax.lax.dot(xn.astype(dt), wqkv_ref[...],
-                      preferred_element_type=jnp.float32) + bqkv_ref[0]
-    a = _attention_heads(qkv.astype(dt).reshape(ng, pn, 3 * c), bias_ref,
-                         num_heads, c, scale, broadcast_bias, dt)
-    z = jax.lax.dot(a.reshape(ng * pn, c).astype(dt), wproj_ref[...],
-                    preferred_element_type=jnp.float32) + bproj_ref[0]
-    if add_residual:
-        # the kernel input IS the (rolled) shortcut, so the residual add is
-        # free here; roll-back outside commutes with the addition
-        z = z + xw.astype(jnp.float32)
-    out_ref[0] = _window_unpack(z.astype(out_ref.dtype), ws, nw, cw, c)
+    for r in range(rows):
+        x = xall[r * ws:(r + 1) * ws]
+        bias_arr = (bias_all if broadcast_bias
+                    else bias_all[:, r * ng:(r + 1) * ng])
+        xw = _window_pack(x, ws, nw, pack, c)      # (T, C)
+        xn, _, _ = _ln_forward(xw.astype(jnp.float32), lns_ref[0], lnb_ref[0])
+        qkv = jax.lax.dot(xn.astype(dt), wqkv_ref[...],
+                          preferred_element_type=jnp.float32) + bqkv_ref[0]
+        a = _attention_heads(qkv.astype(dt).reshape(ng, pn, 3 * c), bias_arr,
+                             num_heads, c, scale, broadcast_bias, dt)
+        z = jax.lax.dot(a.reshape(ng * pn, c).astype(dt), wproj_ref[...],
+                        preferred_element_type=jnp.float32) + bproj_ref[0]
+        if add_residual:
+            # the kernel input IS the (rolled) shortcut, so the residual add
+            # is free here; roll-back outside commutes with the addition
+            z = z + xw.astype(jnp.float32)
+        out_ref[0, r * ws:(r + 1) * ws] = _window_unpack(
+            z.astype(out_ref.dtype), ws, nw, cw, c)
 
 
 def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -230,8 +259,8 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     dz_w = _window_pack(dz, ws, nw, pack, c).astype(jnp.float32)   # (T, C)
 
     # ---- proj backward (needs the recomputed attention output)
-    a = _attention_heads(qkv3, bias_ref, num_heads, c, scale, broadcast_bias,
-                         dt).reshape(t, c)
+    a = _attention_heads(qkv3, bias_ref[...], num_heads, c, scale,
+                         broadcast_bias, dt).reshape(t, c)
     dwproj_ref[...] += jax.lax.dot_general(
         a.astype(jnp.float32), dz_w, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -250,7 +279,8 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     do = jnp.concatenate([da3[:, :, h * hd:(h + 1) * hd]
                           for h in range(num_heads)], axis=0)   # f32
 
-    p, _ = _attention_probs(qkv3, bias_ref, num_heads, c, scale, broadcast_bias)
+    p, _ = _attention_probs(qkv3, bias_ref[...], num_heads, c, scale,
+                            broadcast_bias)
 
     dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
@@ -351,10 +381,23 @@ def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                             add_residual, *args)
 
 
+def _pack_cap() -> int:
+    """Experiment knob: max packed-attention tile width (SWIN_PACK_CAP)."""
+    import os
+    return int(os.environ.get('SWIN_PACK_CAP', '128'))
+
+
+def _head_loop() -> bool:
+    """Experiment knob: per-head static loop instead of the axis-0
+    head-concat batched attention (SWIN_HEAD_LOOP=1)."""
+    import os
+    return os.environ.get('SWIN_HEAD_LOOP', '0') == '1'
+
+
 def _geometry(x, window_size, num_heads, bwd=True):
     b, h, w, c = x.shape
     ws, n = window_size, window_size * window_size
-    pack = _pack_factor(n, w // ws)
+    pack = _pack_factor(n, w // ws, _pack_cap())
     cw = _chunk_cols(w, ws, pack, c, num_heads, bwd=bwd)
     return b, h, w, c, ws, n, pack, cw
 
@@ -391,24 +434,35 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
                                             bwd=False)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
+    # multiple window-rows per grid step (full-width chunks only): fewer,
+    # bigger grid cells amortize per-step overhead; rows are independent so
+    # the kernel just loops them with the right per-row bias slice
+    rows = 1
+    if w_chunks == 1:
+        nwh = h // ws
+        per_token = c * 4 * 3 + num_heads * pn * 4 * 2
+        for cand in range(2, nwh + 1):
+            if nwh % cand == 0 and cand * ws * cw * per_token <= 10e6:
+                rows = cand
     bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
-    bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn, ng,
-                                            w_chunks, 'fwd')
+    bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn,
+                                            rows * ng, w_chunks, 'fwd')
     kernel = functools.partial(_block_fwd_kernel, ws=ws, num_heads=num_heads,
                                c=c, scale=scale, broadcast_bias=broadcast_bias,
-                               pack=pack, add_residual=add_residual)
+                               pack=pack, add_residual=add_residual, rows=rows)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(b, h // ws, w_chunks),
+        grid=(b, h // (ws * rows), w_chunks),
         in_specs=[
-            pl.BlockSpec((1, ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
+            pl.BlockSpec((1, rows * ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
             _const_spec((1, c)), _const_spec((1, c)),
             _const_spec((c, 3 * c)), _const_spec((1, 3 * c)),
             _const_spec((c, c)), _const_spec((1, c)),
             bias_spec,
         ],
-        out_specs=pl.BlockSpec((1, ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
+        out_specs=pl.BlockSpec((1, rows * ws, cw, c),
+                               lambda bi, j, wc: (bi, j, wc, 0)),
         # every forward grid cell is independent — let Mosaic reorder and
         # pipeline freely
         compiler_params=pltpu.CompilerParams(

@@ -75,11 +75,11 @@ def reference_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray,
 
 
 # --------------------------------------------------------------- packing
-def _pack_factor(n: int, nw: int) -> int:
-    """Windows packed per attention block: largest p with p*n <= 128 that
+def _pack_factor(n: int, nw: int, cap: int = 128) -> int:
+    """Windows packed per attention block: largest p with p*n <= cap that
     divides the windows-per-row count."""
     for p in (8, 4, 2):
-        if p * n <= 128 and nw % p == 0:
+        if p * n <= cap and nw % p == 0:
             return p
     return 1
 

@@ -34,6 +34,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--iters', type=int, default=8)
     p.add_argument('--grad', action='store_true')
+    p.add_argument('--attn-only', action='store_true')
+    p.add_argument('--c', type=int, default=180, help='embed dim (180=SwinIR-M)')
     args = p.parse_args()
 
     import jax
@@ -41,7 +43,7 @@ def main():
     from basicsr4rs_tpu.ops.mlp_block import fused_mlp_block
     from basicsr4rs_tpu.ops.swin_block import fused_swin_attn_block
 
-    B, H, W, C, heads, ws = 8, 64, 64, 180, 6, 8
+    B, H, W, C, heads, ws = 8, 64, 64, args.c, 6, 8
     scale = (C // heads) ** -0.5
     rs = np.random.RandomState(0)
     dt = jnp.bfloat16
@@ -88,10 +90,13 @@ def main():
     def mlp(v):
         return fused_mlp_block(v, lns, lnb, w1, b1, w2, b2, add_residual=True)
 
-    results = {}
+    import os
+    results = {'knobs': {k: os.environ.get(k) for k in
+                         ('SWIN_PACK_CAP', 'SWIN_HEAD_LOOP') if os.environ.get(k)}}
     results['attn36_broadcast_ms'] = round(timeit(chain36(attn1), (x,), args.iters), 2)
     results['attn36_perwindow_ms'] = round(timeit(chain36(attnw), (x,), args.iters), 2)
-    results['mlp36_ms'] = round(timeit(chain36(mlp), (x,), args.iters), 2)
+    if not args.attn_only:
+        results['mlp36_ms'] = round(timeit(chain36(mlp), (x,), args.iters), 2)
     print(json.dumps(results))
 
 
