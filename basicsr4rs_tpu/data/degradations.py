@@ -6,10 +6,13 @@ host-side per batch item exactly like the reference dataset does; the noise
 ops are the TPU equivalents of the reference ``*_pt`` variants and run
 inside the jitted Real-ESRGAN pipeline with explicit PRNG keys.
 
-TPU-native deviation: the Poisson ``vals`` term (2^ceil(log2(#unique
+TPU-native deviations: the Poisson ``vals`` term (2^ceil(log2(#unique
 levels))) is data-dependent in the reference (a host sync per batch); here
 it is computed in-graph with a 256-bin histogram — exact for the rounded
-8-bit-level inputs both versions operate on.
+8-bit-level inputs both versions operate on. Poisson sampling itself uses a
+branch-free inverse-CDF / rounded-normal hybrid (``_poisson_tpu``) instead
+of rejection sampling, which on TPU costs more than the whole rest of the
+synthesis program.
 """
 
 from __future__ import annotations
@@ -239,15 +242,65 @@ def random_add_gaussian_noise_jax(key, img, sigma_range=(0, 1.0), gray_prob=0.,
 
 
 def _poisson_vals(img):
-    """2^ceil(log2(#unique-255-levels)) per sample, in-graph via a 256-bin
-    histogram (exact for rounded 8-bit-level input)."""
+    """2^ceil(log2(#unique-255-levels)) per sample, in-graph (exact for
+    rounded 8-bit-level input). Presence of each level is a broadcast
+    compare fused into the pixel reduction — a scatter-add histogram here
+    is near-serial on TPU (the dominant cost of the whole noise op)."""
+    import jax
     import jax.numpy as jnp
     n = img.shape[0]
     levels = jnp.round(img * 255.0).astype(jnp.int32).reshape(n, -1)
-    counts = jnp.zeros((n, 256), jnp.int32)
-    counts = counts.at[jnp.arange(n)[:, None], levels].add(1)
-    uniq = jnp.sum(counts > 0, axis=1).astype(jnp.float32)
+    # pack the 256 levels into 8 int32 bitmask words per pixel and OR-reduce
+    # over pixels: 32x less intermediate data than a 256-wide presence
+    # compare (measured 6.7 ms -> ~1 ms at canvas size on v5e)
+    word = levels >> 5                                  # (n, P) in 0..7
+    bit = jnp.left_shift(jnp.int32(1), levels & 31)     # (n, P) bit pattern
+    js = jnp.arange(8, dtype=jnp.int32)
+    words = jnp.where(word[:, :, None] == js, bit[:, :, None], 0)  # (n, P, 8)
+    mask = jax.lax.reduce(words, np.int32(0), jax.lax.bitwise_or, (1,))
+    uniq = jnp.sum(jax.lax.population_count(mask), axis=1).astype(jnp.float32)
     return 2.0 ** jnp.ceil(jnp.log2(uniq))
+
+
+_POISSON_SWITCH = 12.0   # lam threshold: CDF inversion below, normal above
+_POISSON_KMAX = 32       # inversion truncation: P(X>31 | lam=12) ~ 4e-6
+
+
+def _poisson_tpu(key, lam):
+    """Branch-free Poisson sampler (TPU-native; no rejection loops).
+
+    ``jax.random.poisson`` lowers to rejection sampling inside
+    ``lax.while_loop`` — measured 105.9 ms per call at the Real-ESRGAN
+    canvas size on v5e, more than the entire rest of the synthesis program
+    combined (scripts/profile_degradation.py). This hybrid replaces it with
+    two purely elementwise formulations selected per element:
+
+    - lam < 12: exact inverse-CDF via the unrolled recurrence
+      pmf_{k+1} = pmf_k * lam/(k+1), X = #{k < 32 : u > CDF(k)}. XLA fuses
+      the unroll into one elementwise pass over the canvas.
+    - lam >= 12: rounded-normal approximation max(0, round(lam + sqrt(lam) z))
+      — exact mean/variance, skewness error O(lam^-1/2) <= 0.29.
+
+    Cost is ~one normal draw (+ fused arithmetic): ~70x faster than the
+    rejection sampler at synthesis shapes.
+    """
+    import jax
+    import jax.numpy as jnp
+    u_key, z_key = jax.random.split(key)
+    lam = lam.astype(jnp.float32)
+    u = jax.random.uniform(u_key, lam.shape, jnp.float32)
+    z = jax.random.normal(z_key, lam.shape, jnp.float32)
+    small = jnp.minimum(lam, _POISSON_SWITCH)  # keep exp(-lam) conditioned
+    pmf = jnp.exp(-small)
+    cdf = pmf
+    count = jnp.zeros_like(lam)
+    for k in range(1, _POISSON_KMAX):
+        count = count + (u > cdf).astype(jnp.float32)
+        pmf = pmf * (small / k)
+        cdf = cdf + pmf
+    count = count + (u > cdf).astype(jnp.float32)
+    normal = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z), 0.0)
+    return jnp.where(lam < _POISSON_SWITCH, count, normal)
 
 
 def generate_poisson_noise_jax(key, img, scale, gray_noise):
@@ -260,14 +313,14 @@ def generate_poisson_noise_jax(key, img, scale, gray_noise):
 
     img_r = jnp.clip((img * 255.0).round(), 0, 255) / 255.
     vals = _poisson_vals(img_r).reshape(n, 1, 1, 1)
-    out = jax.random.poisson(key_color, img_r * vals).astype(img.dtype) / vals
+    out = _poisson_tpu(key_color, img_r * vals).astype(img.dtype) / vals
     noise = out - img_r
 
     # gray branch: luminance image (torchvision coefficients)
     coef = jnp.asarray([0.2989, 0.587, 0.114], img.dtype)
     img_gray = jnp.clip((jnp.sum(img * coef, axis=-1, keepdims=True) * 255.0).round(), 0, 255) / 255.
     vals_g = _poisson_vals(img_gray).reshape(n, 1, 1, 1)
-    out_g = jax.random.poisson(key_gray, img_gray * vals_g).astype(img.dtype) / vals_g
+    out_g = _poisson_tpu(key_gray, img_gray * vals_g).astype(img.dtype) / vals_g
     noise_gray = jnp.broadcast_to(out_g - img_gray, img.shape)
 
     noise = noise * (1 - gray) + noise_gray * gray

@@ -307,6 +307,54 @@ def bench_resshift_sampling(steps=15, reps=3):
     return best * 1e3
 
 
+def bench_realesrgan_synth(batch=12, gt_size=256, reps=3, iters=8):
+    """Full jitted Real-ESRGAN two-stage degradation synthesis program
+    (models/realesrgan_model.py feed_data analog), ms per batch. Captures
+    the VERDICT r2 #8 input-path cost; the TPU-native Poisson sampler and
+    bitmask unique-level count (data/degradations.py) are the difference
+    between this and the 269 ms round-2 number."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from basicsr4rs_tpu.ops.degradation_pipeline import RealESRGANDegrader
+
+    rs = np.random.RandomState(0)
+    img_gt = jnp.asarray(rs.rand(batch, gt_size, gt_size, 3).astype(np.float32))
+    kernels = jnp.asarray(rs.rand(batch, 21, 21).astype(np.float32))
+    kernels = kernels / kernels.sum(axis=(1, 2), keepdims=True)
+    sinc = jnp.asarray(rs.rand(batch, 21, 21).astype(np.float32))
+    sinc = sinc / sinc.sum(axis=(1, 2), keepdims=True)
+    opt = {
+        'scale': 4,
+        'resize_prob': [0.2, 0.7, 0.1], 'resize_range': [0.15, 1.5],
+        'gaussian_noise_prob': 0.5, 'noise_range': [1, 30],
+        'poisson_scale_range': [0.05, 3], 'gray_noise_prob': 0.4,
+        'jpeg_range': [30, 95],
+        'second_blur_prob': 0.8,
+        'resize_prob2': [0.3, 0.4, 0.3], 'resize_range2': [0.3, 1.2],
+        'gaussian_noise_prob2': 0.5, 'noise_range2': [1, 25],
+        'poisson_scale_range2': [0.05, 2.5], 'gray_noise_prob2': 0.4,
+        'jpeg_range2': [30, 95],
+    }
+    degrader = RealESRGANDegrader(opt)
+
+    @jax.jit
+    def synth(key, gt):
+        lq_img, gt_out, gt_usm = degrader(key, gt, kernels, kernels, sinc)
+        return jnp.mean(lq_img) + jnp.mean(gt_usm)
+
+    key = jax.random.PRNGKey(0)
+    float(synth(key, img_gt))
+    best = float('inf')
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = synth(jax.random.fold_in(key, i), img_gt)
+        float(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+
 def bench_stylegan2_g(reps=3, iters=4):
     """StyleGAN2 generator fwd+bwd (256px, full channel width), ms/step."""
     import jax
@@ -360,6 +408,7 @@ def main():
     edvr_ms, vpp_ms = bench_video_steps()
     resshift_ms = bench_resshift_sampling()
     sg2_ms = bench_stylegan2_g()
+    synth_ms = bench_realesrgan_synth()
 
     def mfu(lrpix_s, flops, mult=1.0):
         return round(lrpix_s * flops * mult / peak, 4) if peak else None
@@ -392,6 +441,7 @@ def main():
             'basicvsrpp_train_step_ms': round(vpp_ms, 1),
             'resshift_sample15_ms': round(resshift_ms, 1),
             'stylegan2_g_fwd_bwd_ms': round(sg2_ms, 1),
+            'realesrgan_synth_ms': round(synth_ms, 1),
             'swinir_mflops_per_lr_pixel': round(sw_flops / 1e6, 2),
             'msrresnet_mflops_per_lr_pixel': round(ms_flops / 1e6, 2),
             'dtype': 'bfloat16',
