@@ -234,6 +234,26 @@ class WindowAttention(nn.Module):
                                     scale, add_residual=add_residual)
         return self.proj_dropout(out, deterministic=deterministic)
 
+    def fused_joint(self, x, ln1_scale, ln1_bias, ln2_scale, ln2_bias,
+                    w1, b1, w2, b2, window_size: int, mask=None):
+        """The WHOLE Swin block — LN1+qkv+W-MSA+proj + residual, then
+        LN2+fc1+GELU+fc2 + residual — in ONE Pallas call
+        (ops/swin_block.py fused_swin_block_full). Requires every dropout
+        and DropPath to be identity; x: (B, H, W, C), already shifted
+        (the per-token MLP commutes with the caller's roll-back)."""
+        from ..ops.swin_block import fused_swin_block_full
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+        wqkv, bqkv = self.qkv()
+        wproj, bproj = self.proj()
+        if bqkv is None:
+            bqkv = jnp.zeros((self.dim * 3,), jnp.float32)
+        bias = self._packed_bias(window_size, mask)
+        return fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv,
+                                     wproj, bproj, bias, ln2_scale, ln2_bias,
+                                     w1, b1, w2, b2, window_size,
+                                     self.num_heads, scale)
+
 
 class DropPath(nn.Module):
     """Per-sample stochastic depth."""
@@ -300,6 +320,22 @@ class SwinTransformerBlock(nn.Module):
         # shortcut; roll-back commutes with the addition)
         fold_residual = (fused and self.drop == 0.
                          and (self.drop_path == 0. or deterministic))
+
+        # Inference: the whole block (attn + MLP, both residuals) in ONE
+        # Pallas call — removes the kernel-boundary HBM round trip of the
+        # post-attention activation. Training keeps the two-kernel split:
+        # its flash-style backwards reuse the materialized post-attention
+        # activation, which the joint forward does not write out.
+        from ..ops.swin_block import joint_block_enabled
+        if fold_residual and deterministic and joint_block_enabled():
+            ln2_scale, ln2_bias = LNParams(self.dim, name='norm2')()
+            w1, b1, w2, b2 = MlpParams(self.dim, int(self.dim * self.mlp_ratio),
+                                       name='mlp')()
+            x = attn_mod.fused_joint(x, ln_scale, ln_bias, ln2_scale, ln2_bias,
+                                     w1, b1, w2, b2, window_size, mask=mask)
+            if shift_size > 0:
+                x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
+            return x.reshape(b, h * w, c)
 
         if fused:
             # whole branch (LN1+qkv+attn+proj) in one Pallas call

@@ -67,17 +67,19 @@ def reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
 # ----------------------------------------------------------- chunk sizing
 def _chunk_cols(w: int, ws: int, pack: int, c: int, num_heads: int,
-                bwd: bool) -> int:
+                bwd: bool, hidden: int = 0) -> int:
     """Largest W-chunk (multiple of ws*pack, divides w) whose working set
     fits VMEM (~16MB; budget ~6MB for the f32 buffers): roughly 8 live
     (T, C) token tensors in the backward (3 in the forward) plus the
     head-batched attention matrices — (heads*ng, pn, pn) f32, ~4 live in the
     backward (s/p/dp/ds), 2 in the forward — which cost heads*pn*4 bytes
-    per token."""
+    per token. ``hidden`` adds the joint kernel's MLP activations
+    (pre-GELU + GELU output, f32)."""
     unit = ws * pack
     pn = pack * ws * ws
     per_token_bytes = (c * 4 * (8 if bwd else 3)
-                       + num_heads * pn * 4 * (4 if bwd else 2))
+                       + num_heads * pn * 4 * (4 if bwd else 2)
+                       + hidden * 4 * 2)
     budget = 6e6
     best = unit
     cw = unit
@@ -112,10 +114,11 @@ def _ln_forward(xf, ln_scale, ln_bias):
 
 
 def _split_heads(qkv3, num_heads, c):
-    """(ng, pn, 3C) -> q, k, v each (heads*ng, pn, hd), head-major on the
+    """(ng, pn, 3C') -> q, k, v each (heads*ng, pn, hd'), head-major on the
     leading (batch) dim. Built by concatenating per-head lane slices along
     axis 0 — Mosaic matmul supports a single batch dim and no lane-dim
-    shape casts, so this is the layout the batched dots need."""
+    shape casts, so this is the layout the batched dots need. ``c`` is the
+    (possibly head-padded) attention width heads*hd'."""
     hd = c // num_heads
 
     def part(i):
@@ -124,6 +127,35 @@ def _split_heads(qkv3, num_heads, c):
              for h in range(num_heads)], axis=0)
 
     return part(0), part(1), part(2)
+
+
+def _padded_hd(hd: int) -> int:
+    """Head dim padded up to a multiple of 8 lanes (SWIN_PAD_HEADS=0 to
+    disable). SwinIR-M's hd=30 puts every per-head lane slice at a
+    misaligned offset (0,30,60,...), forcing expensive VPU lane rotates in
+    the head-major relayouts; hd=32 makes all offsets 8-aligned. The pad is
+    FREE on the MXU (K/N tiles round to 128 anyway) — measured 16.2 ms ->
+    12.6 ms on the 36-block attention chain when the whole model runs at
+    hd=32 (scripts/exp_swin_variants.py --c 192)."""
+    import os
+    if os.environ.get('SWIN_PAD_HEADS', '1') == '0':
+        return hd
+    return ((hd + 7) // 8) * 8
+
+
+def _pad_head_weights(wqkv, bqkv, wproj, num_heads, hd, hdp):
+    """Zero-pad each head's slice of the qkv/proj weights from hd to hdp
+    lanes, so the kernel's per-head slices are 8-aligned. Zero q/k pad
+    lanes contribute nothing to the attention dots and zero v lanes /
+    proj rows produce exactly the unpadded output."""
+    c = num_heads * hd
+    pad = hdp - hd
+    w = jnp.pad(wqkv.reshape(c, 3, num_heads, hd),
+                ((0, 0), (0, 0), (0, 0), (0, pad)))
+    bq = jnp.pad(bqkv.reshape(3, num_heads, hd), ((0, 0), (0, 0), (0, pad)))
+    wp = jnp.pad(wproj.reshape(num_heads, hd, c), ((0, 0), (0, pad), (0, 0)))
+    return (w.reshape(c, 3 * num_heads * hdp), bq.reshape(3 * num_heads * hdp),
+            wp.reshape(num_heads * hdp, c))
 
 
 def _attention_probs(qkv3, bias_arr, num_heads, c, scale, broadcast_bias):
@@ -179,7 +211,7 @@ def _attention_heads_looped(qkv3, bias_arr, num_heads, c, scale, out_dtype):
 
 def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                       bproj_ref, bias_ref, out_ref, *, ws, num_heads, c,
-                      scale, broadcast_bias, pack, add_residual, rows=1):
+                      catt, scale, broadcast_bias, pack, add_residual, rows=1):
     xall = x_ref[0]                            # (rows*ws, CW, C)
     cw = xall.shape[1]
     nw = cw // ws
@@ -196,9 +228,9 @@ def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         xn, _, _ = _ln_forward(xw.astype(jnp.float32), lns_ref[0], lnb_ref[0])
         qkv = jax.lax.dot(xn.astype(dt), wqkv_ref[...],
                           preferred_element_type=jnp.float32) + bqkv_ref[0]
-        a = _attention_heads(qkv.astype(dt).reshape(ng, pn, 3 * c), bias_arr,
-                             num_heads, c, scale, broadcast_bias, dt)
-        z = jax.lax.dot(a.reshape(ng * pn, c).astype(dt), wproj_ref[...],
+        a = _attention_heads(qkv.astype(dt).reshape(ng, pn, 3 * catt), bias_arr,
+                             num_heads, catt, scale, broadcast_bias, dt)
+        z = jax.lax.dot(a.reshape(ng * pn, catt).astype(dt), wproj_ref[...],
                         preferred_element_type=jnp.float32) + bproj_ref[0]
         if add_residual:
             # the kernel input IS the (rolled) shortcut, so the residual add
@@ -208,11 +240,53 @@ def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
             z.astype(out_ref.dtype), ws, nw, cw, c)
 
 
+def _joint_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                      bproj_ref, bias_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref,
+                      w2_ref, b2_ref, out_ref, *, ws, num_heads, c, catt,
+                      scale, broadcast_bias, pack, rows=1):
+    """Whole Swin block in ONE grid cell: attention branch + residual, then
+    LN2+fc1+GELU+fc2 + residual (the MLP is per-token, so running it before
+    the caller's shift roll-back is numerically identical). Used when both
+    residuals fold (DropPath identity) — removes the kernel-boundary HBM
+    round trip of the post-attention activation that the two-call structure
+    pays per block."""
+    from .mlp_block import _gelu
+
+    xall = x_ref[0]                            # (rows*ws, CW, C)
+    cw = xall.shape[1]
+    nw = cw // ws
+    n = ws * ws
+    ng, pn = nw // pack, pack * n
+    dt = xall.dtype
+    bias_all = bias_ref[...]
+
+    for r in range(rows):
+        x = xall[r * ws:(r + 1) * ws]
+        bias_arr = (bias_all if broadcast_bias
+                    else bias_all[:, r * ng:(r + 1) * ng])
+        xw = _window_pack(x, ws, nw, pack, c)      # (T, C)
+        xn, _, _ = _ln_forward(xw.astype(jnp.float32), lns_ref[0], lnb_ref[0])
+        qkv = jax.lax.dot(xn.astype(dt), wqkv_ref[...],
+                          preferred_element_type=jnp.float32) + bqkv_ref[0]
+        a = _attention_heads(qkv.astype(dt).reshape(ng, pn, 3 * catt), bias_arr,
+                             num_heads, catt, scale, broadcast_bias, dt)
+        y = (jax.lax.dot(a.reshape(ng * pn, catt).astype(dt), wproj_ref[...],
+                         preferred_element_type=jnp.float32) + bproj_ref[0]
+             + xw.astype(jnp.float32))             # attn branch + residual
+        yn, _, _ = _ln_forward(y, ln2s_ref[0], ln2b_ref[0])
+        hpre = jax.lax.dot(yn.astype(dt), w1_ref[...],
+                           preferred_element_type=jnp.float32) + b1_ref[0]
+        z = jax.lax.dot(_gelu(hpre).astype(dt), w2_ref[...],
+                        preferred_element_type=jnp.float32) + b2_ref[0] + y
+        out_ref[0, r * ws:(r + 1) * ws] = _window_unpack(
+            z.astype(out_ref.dtype), ws, nw, cw, c)
+
+
 def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                       bias_ref, dz_ref,
                       dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                       dwproj_ref, dbproj_ref, dbias_ref, *, ws, num_heads, c,
-                      scale, broadcast_bias, pack, add_residual):
+                      catt, scale, broadcast_bias, pack, add_residual):
     from jax.experimental import pallas as pl
 
     x = x_ref[0]                               # (ws, CW, C)
@@ -220,7 +294,7 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     cw = x.shape[1]
     nw = cw // ws
     n = ws * ws
-    hd = c // num_heads
+    hd = catt // num_heads
     ng, pn = nw // pack, pack * n
     t = ng * pn
     dt = x.dtype
@@ -254,24 +328,24 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     xn_dt = xn.astype(dt)
     qkv = (jax.lax.dot(xn_dt, wqkv_ref[...],
                        preferred_element_type=jnp.float32) + bqkv_ref[0])
-    qkv3 = qkv.astype(dt).reshape(ng, pn, 3 * c)
+    qkv3 = qkv.astype(dt).reshape(ng, pn, 3 * catt)
 
     dz_w = _window_pack(dz, ws, nw, pack, c).astype(jnp.float32)   # (T, C)
 
     # ---- proj backward (needs the recomputed attention output)
-    a = _attention_heads(qkv3, bias_ref[...], num_heads, c, scale,
-                         broadcast_bias, dt).reshape(t, c)
+    a = _attention_heads(qkv3, bias_ref[...], num_heads, catt, scale,
+                         broadcast_bias, dt).reshape(t, catt)
     dwproj_ref[...] += jax.lax.dot_general(
         a.astype(jnp.float32), dz_w, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dbproj_ref[0] += jnp.sum(dz_w, axis=0)
     da = jax.lax.dot_general(dz_w.astype(dt), wproj_ref[...],
                              (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # (T, C)
-    da3 = da.reshape(ng, pn, c)
+                             preferred_element_type=jnp.float32)   # (T, C')
+    da3 = da.reshape(ng, pn, catt)
 
     # ---- attention backward, all heads batched (softmax VJP on recomputed P)
-    q, k, v = _split_heads(qkv3, num_heads, c)        # (ng*heads, pn, hd)
+    q, k, v = _split_heads(qkv3, num_heads, catt)     # (ng*heads, pn, hd')
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
@@ -279,7 +353,7 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     do = jnp.concatenate([da3[:, :, h * hd:(h + 1) * hd]
                           for h in range(num_heads)], axis=0)   # f32
 
-    p, _ = _attention_probs(qkv3, bias_ref[...], num_heads, c, scale,
+    p, _ = _attention_probs(qkv3, bias_ref[...], num_heads, catt, scale,
                             broadcast_bias)
 
     dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
@@ -387,6 +461,13 @@ def _pack_cap() -> int:
     return int(os.environ.get('SWIN_PACK_CAP', '128'))
 
 
+def joint_block_enabled() -> bool:
+    """Whether the arch may route eval through the single-call joint
+    attn+MLP kernel (SWIN_JOINT=0 to fall back to the two-kernel split)."""
+    import os
+    return os.environ.get('SWIN_JOINT', '1') != '0'
+
+
 def _head_loop() -> bool:
     """Experiment knob: per-head static loop instead of the axis-0
     head-concat batched attention (SWIN_HEAD_LOOP=1)."""
@@ -394,11 +475,11 @@ def _head_loop() -> bool:
     return os.environ.get('SWIN_HEAD_LOOP', '0') == '1'
 
 
-def _geometry(x, window_size, num_heads, bwd=True):
+def _geometry(x, window_size, num_heads, bwd=True, hidden=0):
     b, h, w, c = x.shape
     ws, n = window_size, window_size * window_size
     pack = _pack_factor(n, w // ws, _pack_cap())
-    cw = _chunk_cols(w, ws, pack, c, num_heads, bwd=bwd)
+    cw = _chunk_cols(w, ws, pack, c, num_heads, bwd=bwd, hidden=hidden)
     return b, h, w, c, ws, n, pack, cw
 
 
@@ -432,6 +513,12 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
     # double the grid-step overhead)
     b, h, w, c, ws, n, pack, cw = _geometry(x, window_size, num_heads,
                                             bwd=False)
+    hd = c // num_heads
+    hdp = _padded_hd(hd)
+    catt = num_heads * hdp
+    if hdp != hd:
+        wqkv, bqkv, wproj = _pad_head_weights(wqkv, bqkv, wproj, num_heads,
+                                              hd, hdp)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
     # multiple window-rows per grid step (full-width chunks only): fewer,
@@ -448,7 +535,8 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
     bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn,
                                             rows * ng, w_chunks, 'fwd')
     kernel = functools.partial(_block_fwd_kernel, ws=ws, num_heads=num_heads,
-                               c=c, scale=scale, broadcast_bias=broadcast_bias,
+                               c=c, catt=catt, scale=scale,
+                               broadcast_bias=broadcast_bias,
                                pack=pack, add_residual=add_residual, rows=rows)
     return pl.pallas_call(
         kernel,
@@ -457,8 +545,8 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
         in_specs=[
             pl.BlockSpec((1, rows * ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
             _const_spec((1, c)), _const_spec((1, c)),
-            _const_spec((c, 3 * c)), _const_spec((1, 3 * c)),
-            _const_spec((c, c)), _const_spec((1, c)),
+            _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
+            _const_spec((catt, c)), _const_spec((1, c)),
             bias_spec,
         ],
         out_specs=pl.BlockSpec((1, rows * ws, cw, c),
@@ -478,13 +566,21 @@ def _fused_block_backward(window_size, num_heads, scale, interpret,
     from jax.experimental import pallas as pl
 
     b, h, w, c, ws, n, pack, cw = _geometry(x, window_size, num_heads)
+    hd = c // num_heads
+    hdp = _padded_hd(hd)
+    catt = num_heads * hdp
+    wdt_qkv, wdt_proj = wqkv.dtype, wproj.dtype
+    if hdp != hd:
+        wqkv, bqkv, wproj = _pad_head_weights(wqkv, bqkv, wproj, num_heads,
+                                              hd, hdp)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
     bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
     bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn, ng,
                                             w_chunks, 'bwd')
     kernel = functools.partial(_block_bwd_kernel, ws=ws, num_heads=num_heads,
-                               c=c, scale=scale, broadcast_bias=broadcast_bias,
+                               c=c, catt=catt, scale=scale,
+                               broadcast_bias=broadcast_bias,
                                pack=pack, add_residual=add_residual)
     strip = pl.BlockSpec((1, ws, cw, c), lambda j, wc, bi: (bi, j, wc, 0))
     f32 = jnp.float32
@@ -493,31 +589,36 @@ def _fused_block_backward(window_size, num_heads, scale, interpret,
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
                    jax.ShapeDtypeStruct((1, c), f32),
                    jax.ShapeDtypeStruct((1, c), f32),
-                   jax.ShapeDtypeStruct((c, 3 * c), f32),
-                   jax.ShapeDtypeStruct((1, 3 * c), f32),
-                   jax.ShapeDtypeStruct((c, c), f32),
+                   jax.ShapeDtypeStruct((c, 3 * catt), f32),
+                   jax.ShapeDtypeStruct((1, 3 * catt), f32),
+                   jax.ShapeDtypeStruct((catt, c), f32),
                    jax.ShapeDtypeStruct((1, c), f32),
                    jax.ShapeDtypeStruct(bias_p.shape, f32)),
         grid=(h // ws, w_chunks, b),
         in_specs=[
             strip,
             _const_spec((1, c)), _const_spec((1, c)),
-            _const_spec((c, 3 * c)), _const_spec((1, 3 * c)),
-            _const_spec((c, c)),
+            _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
+            _const_spec((catt, c)),
             bias_spec,
             strip,
         ],
         out_specs=(strip,
                    _const_spec((1, c)), _const_spec((1, c)),
-                   _const_spec((c, 3 * c)), _const_spec((1, 3 * c)),
-                   _const_spec((c, c)), _const_spec((1, c)),
+                   _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
+                   _const_spec((catt, c)), _const_spec((1, c)),
                    bias_spec),
         interpret=interpret,
     )(x, ln_scale[None], ln_bias[None], wqkv.astype(x.dtype), bqkv[None],
       wproj.astype(x.dtype), bias_p, dz)
+    if hdp != hd:
+        # drop the zero-lane padding from the weight cotangents
+        dwqkv = dwqkv.reshape(c, 3, num_heads, hdp)[..., :hd].reshape(c, 3 * c)
+        dbqkv = dbqkv.reshape(3, num_heads, hdp)[..., :hd].reshape(1, 3 * c)
+        dwproj = dwproj.reshape(num_heads, hdp, c)[:, :hd].reshape(c, c)
     dbias = _unpack_dbias(dbias_p.transpose(1, 0, 2, 3), pack, n, bias.shape[0])
-    return (dx, dlns[0], dlnb[0], dwqkv.astype(wqkv.dtype), dbqkv[0],
-            dwproj.astype(wproj.dtype), dbproj[0], dbias)
+    return (dx, dlns[0], dlnb[0], dwqkv.astype(wdt_qkv), dbqkv[0],
+            dwproj.astype(wdt_proj), dbproj[0], dbias)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
@@ -545,3 +646,157 @@ def _vjp_bwd(window_size, num_heads, scale, interpret, add_residual, res, dz):
 
 
 _fused_block_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------- joint attn+MLP block
+def _fused_joint_forward(window_size, num_heads, scale, interpret, x,
+                         ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                         ln2s, ln2b, w1, b1, w2, b2):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hidden = w1.shape[1]
+    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size, num_heads,
+                                            bwd=False, hidden=hidden)
+    hd = c // num_heads
+    hdp = _padded_hd(hd)
+    catt = num_heads * hdp
+    if hdp != hd:
+        wqkv, bqkv, wproj = _pad_head_weights(wqkv, bqkv, wproj, num_heads,
+                                              hd, hdp)
+    w_chunks = w // cw
+    ng, pn = (cw // ws) // pack, pack * n
+    rows = 1
+    if w_chunks == 1:
+        nwh = h // ws
+        per_token = c * 4 * 3 + num_heads * pn * 4 * 2 + hidden * 4 * 2
+        for cand in range(2, nwh + 1):
+            if nwh % cand == 0 and cand * ws * cw * per_token <= 10e6:
+                rows = cand
+    bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
+    bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn,
+                                            rows * ng, w_chunks, 'fwd')
+    kernel = functools.partial(_joint_fwd_kernel, ws=ws, num_heads=num_heads,
+                               c=c, catt=catt, scale=scale,
+                               broadcast_bias=broadcast_bias,
+                               pack=pack, rows=rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, h // (ws * rows), w_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows * ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
+            _const_spec((1, c)), _const_spec((1, c)),
+            _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
+            _const_spec((catt, c)), _const_spec((1, c)),
+            bias_spec,
+            _const_spec((1, c)), _const_spec((1, c)),
+            _const_spec((c, hidden)), _const_spec((1, hidden)),
+            _const_spec((hidden, c)), _const_spec((1, c)),
+        ],
+        out_specs=pl.BlockSpec((1, rows * ws, cw, c),
+                               lambda bi, j, wc: (bi, j, wc, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel')),
+        interpret=interpret,
+    )(x, ln1s[None], ln1b[None], wqkv.astype(x.dtype), bqkv[None],
+      wproj.astype(x.dtype), bproj[None], bias_p,
+      ln2s[None], ln2b[None], w1.astype(x.dtype), b1[None],
+      w2.astype(x.dtype), b2[None])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_joint_vjp(window_size, num_heads, scale, interpret, x,
+                     ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                     ln2s, ln2b, w1, b1, w2, b2):
+    return _fused_joint_forward(window_size, num_heads, scale, interpret, x,
+                                ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                                ln2s, ln2b, w1, b1, w2, b2)
+
+
+def _joint_vjp_fwd(window_size, num_heads, scale, interpret, x,
+                   ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                   ln2s, ln2b, w1, b1, w2, b2):
+    out = _fused_joint_forward(window_size, num_heads, scale, interpret, x,
+                               ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                               ln2s, ln2b, w1, b1, w2, b2)
+    return out, (x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                 ln2s, ln2b, w1, b1, w2)
+
+
+def _joint_vjp_bwd(window_size, num_heads, scale, interpret, res, dz):
+    """Flash-style: recompute the post-attention activation y with the attn
+    forward kernel, then run the two existing backward kernels (MLP then
+    attention), each with the residual folded."""
+    from .mlp_block import _mlp_backward
+
+    (x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+     ln2s, ln2b, w1, b1, w2) = res
+    c = x.shape[-1]
+    y = _fused_block_forward(window_size, num_heads, scale, interpret, True,
+                             x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias)
+    dy2, dln2s, dln2b, dw1, db1, dw2, db2 = _mlp_backward(
+        interpret, True, y.reshape(-1, c), ln2s, ln2b, w1, b1, w2,
+        dz.reshape(-1, c).astype(y.dtype))
+    dx, dln1s, dln1b, dwqkv, dbqkv, dwproj, dbproj, dbias = \
+        _fused_block_backward(window_size, num_heads, scale, interpret, True,
+                              x, ln1s, ln1b, wqkv, bqkv, wproj, bias,
+                              dy2.reshape(x.shape))
+    return (dx, dln1s, dln1b, dwqkv, dbqkv, dwproj, dbproj, dbias,
+            dln2s, dln2b, dw1, db1, dw2, db2)
+
+
+_fused_joint_vjp.defvjp(_joint_vjp_fwd, _joint_vjp_bwd)
+
+
+def fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
+                          bias, ln2_scale, ln2_bias, w1, b1, w2, b2,
+                          window_size: int, num_heads: int, scale: float,
+                          interpret: bool = False):
+    """The WHOLE Swin block — attention branch + residual + MLP branch +
+    residual — in one Pallas call (both DropPaths must be identity; the
+    caller owns the shift roll / roll-back, which commutes with the
+    per-token MLP). Reference structure: swinir_arch.py:194-262 (attn +
+    Mlp with residual adds). Returns (B, H, W, C), same dtype as x."""
+    from . import dispatch
+    interpret = interpret or dispatch.interpret_forced()
+    args = (x, ln1_scale.astype(jnp.float32), ln1_bias.astype(jnp.float32),
+            wqkv, bqkv.astype(jnp.float32), wproj, bproj.astype(jnp.float32),
+            bias.astype(jnp.float32),
+            ln2_scale.astype(jnp.float32), ln2_bias.astype(jnp.float32),
+            w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32))
+
+    def _reference(xx):
+        y = xx + reference_swin_attn_block(
+            xx, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj, bias,
+            window_size, num_heads, scale)
+        from .mlp_block import reference_mlp_block
+        return y + reference_mlp_block(y, ln2_scale, ln2_bias, w1, b1, w2, b2)
+
+    if not interpret and jax.default_backend() not in ('tpu',):
+        return _reference(x)
+
+    mesh, data, spatial = dispatch.mesh_info()
+    if mesh is not None:
+        # same sharding contract as fused_swin_attn_block: batch over
+        # 'data', whole window rows over 'spatial', per-window bias rows
+        # sharded with them; weight cotangents psum'd by the transpose.
+        from jax.sharding import PartitionSpec as P
+        b, h, w, _ = x.shape
+        nwb = bias.shape[0]
+        ok = (b % data == 0 and h % (spatial * window_size) == 0
+              and (nwb == 1
+                   or nwb == (h // window_size) * (w // window_size)))
+        if not ok:
+            return _reference(x)
+        xspec = P('data', 'spatial') if spatial > 1 else P('data')
+        bias_spec = P('spatial') if (spatial > 1 and nwb > 1) else P()
+        core = functools.partial(_fused_joint_vjp, window_size, num_heads,
+                                 scale, interpret)
+        fn = dispatch.shard_wrap(
+            core, mesh,
+            in_specs=(xspec,) + (P(),) * 6 + (bias_spec,) + (P(),) * 6,
+            out_specs=xspec)
+        return fn(*args)
+
+    return _fused_joint_vjp(window_size, num_heads, scale, interpret, *args)

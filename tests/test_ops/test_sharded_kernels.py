@@ -180,3 +180,43 @@ def test_dcn_auto_under_spatial_mesh_uses_onehot():
             _put(mesh, mask, P('data', 'spatial')), _put(mesh, w, P()))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------ joint attn+MLP block
+@pytest.mark.parametrize('data,spatial', [(8, 1), (4, 2)])
+@pytest.mark.parametrize('nwb_mode', ['broadcast', 'per_window'])
+def test_fused_joint_block_sharded_matches_single(data, spatial, nwb_mode):
+    from basicsr4rs_tpu.ops.swin_block import fused_swin_block_full
+    mesh = _mesh(data, spatial)
+    rng = np.random.RandomState(5)
+    ws, heads, c, hidden = 4, 2, 8, 16
+    n = ws * ws
+    b, h, w = 8, 8, 8
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    lns = jnp.asarray(1 + 0.1 * rng.randn(c).astype(np.float32))
+    lnb = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    wqkv = jnp.asarray(rng.randn(c, 3 * c).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(0.1 * rng.randn(3 * c).astype(np.float32))
+    wproj = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    nwb = 1 if nwb_mode == 'broadcast' else (h // ws) * (w // ws)
+    bias = jnp.asarray(rng.randn(nwb, heads, n, n).astype(np.float32) * 0.5)
+    ln2s = jnp.asarray(1 + 0.1 * rng.randn(c).astype(np.float32))
+    ln2b = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(c, hidden).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(0.1 * rng.randn(hidden).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(hidden, c).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    scale = (c // heads) ** -0.5
+
+    def op(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+           ln2s, ln2b, w1, b1, w2, b2):
+        return fused_swin_block_full(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                     bias, ln2s, ln2b, w1, b1, w2, b2,
+                                     ws, heads, scale, interpret=True)
+
+    xspec = P('data', 'spatial') if spatial > 1 else P('data')
+    bspec = P('spatial') if (spatial > 1 and nwb_mode == 'per_window') else P()
+    _grad_check(op, (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                     ln2s, ln2b, w1, b1, w2, b2), mesh,
+                (xspec,) + (P(),) * 6 + (bspec,) + (P(),) * 6)

@@ -93,3 +93,75 @@ def test_wide_input_uses_w_chunking():
     got = fused_swin_attn_block(*args, 4, 2, 0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+# ------------------------------------------------- joint attn+MLP kernel
+def _joint_case(b=2, h=16, w=16, c=12, heads=3, ws=4, nwb=1, seed=0,
+                hidden=None):
+    kw = _case(b=b, h=h, w=w, c=c, heads=heads, ws=ws, nwb=nwb, seed=seed)
+    rng = np.random.RandomState(100 + seed)
+    hidden = hidden or 2 * c
+    kw.update(
+        ln2_scale=jnp.asarray(1 + 0.1 * rng.randn(c).astype(np.float32)),
+        ln2_bias=jnp.asarray(0.1 * rng.randn(c).astype(np.float32)),
+        w1=jnp.asarray(rng.randn(c, hidden).astype(np.float32) * 0.2),
+        b1=jnp.asarray(0.1 * rng.randn(hidden).astype(np.float32)),
+        w2=jnp.asarray(rng.randn(hidden, c).astype(np.float32) * 0.2),
+        b2=jnp.asarray(0.1 * rng.randn(c).astype(np.float32)),
+    )
+    return kw
+
+
+JOINT_ARGNAMES = ARGNAMES + ('ln2_scale', 'ln2_bias', 'w1', 'b1', 'w2', 'b2')
+
+
+def _joint_reference(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                     ln2_scale, ln2_bias, w1, b1, w2, b2, ws, heads, scale):
+    from basicsr4rs_tpu.ops.mlp_block import reference_mlp_block
+    y = x + reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
+                                      wproj, bproj, bias, ws, heads, scale)
+    return y + reference_mlp_block(y, ln2_scale, ln2_bias, w1, b1, w2, b2)
+
+
+@pytest.mark.parametrize('nwb', [1, 16])
+def test_joint_forward_matches_reference(nwb):
+    from basicsr4rs_tpu.ops.swin_block import fused_swin_block_full
+    kw = _joint_case(nwb=nwb, seed=30 + nwb)
+    args = [kw[k] for k in JOINT_ARGNAMES]
+    want = _joint_reference(*args, 4, 3, 0.37)
+    got = fused_swin_block_full(*args, 4, 3, 0.37, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize('nwb', [1, 16])
+def test_joint_vjp_matches_reference_grads(nwb):
+    from basicsr4rs_tpu.ops.swin_block import fused_swin_block_full
+    kw = _joint_case(nwb=nwb, seed=40 + nwb)
+    args = [kw[k] for k in JOINT_ARGNAMES]
+
+    def loss_fused(*a):
+        out = fused_swin_block_full(*a, 4, 3, 0.37, interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_ref(*a):
+        out = _joint_reference(*a, 4, 3, 0.37)
+        return jnp.sum(out * jnp.sin(out))
+
+    g_f = jax.grad(loss_fused, argnums=tuple(range(14)))(*args)
+    g_r = jax.grad(loss_ref, argnums=tuple(range(14)))(*args)
+    for name, a, b in zip(JOINT_ARGNAMES, g_f, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max() + 1e-6
+        err = np.abs(a - b).max() / denom
+        assert err < 5e-4, f'grad mismatch for {name}: rel-err {err:.2e}'
+
+
+def test_joint_wide_input_uses_w_chunking():
+    from basicsr4rs_tpu.ops.swin_block import fused_swin_block_full
+    kw = _joint_case(b=1, h=8, w=64, c=8, heads=2, ws=4, nwb=1, seed=3)
+    args = [kw[k] for k in JOINT_ARGNAMES]
+    want = _joint_reference(*args, 4, 2, 0.5)
+    got = fused_swin_block_full(*args, 4, 2, 0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
