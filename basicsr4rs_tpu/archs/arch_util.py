@@ -143,6 +143,27 @@ def pixel_unshuffle(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return x.reshape(n, h, w, c * r * r)
 
 
+def _up_conv(x, cin, cout, name, dtype):
+    """Upsampler 3x3 conv routed through the fused Pallas conv when enabled
+    (ops/conv3x3.py; falls back to XLA off-TPU / at unsupported geometry).
+    Param tree identical to ``nn.Conv``."""
+    from ..ops.conv3x3 import conv_fusion_enabled, fused_conv3x3
+
+    class _P(nn.Module):
+        @nn.compact
+        def __call__(self):
+            return (self.param('kernel', nn.initializers.lecun_normal(),
+                               (3, 3, cin, cout)),
+                    self.param('bias', nn.initializers.zeros, (cout,)))
+
+    if not conv_fusion_enabled():
+        return nn.Conv(cout, (3, 3), dtype=dtype, name=name)(x)
+    w, b = _P(name=name)()
+    if dtype is not None:
+        x = x.astype(dtype)
+    return fused_conv3x3(x, w, b)
+
+
 class Upsample(nn.Module):
     """Pixel-shuffle upsampler for scales 2^n and 3
     (reference arch_util.py:123-142)."""
@@ -154,12 +175,14 @@ class Upsample(nn.Module):
     def __call__(self, x):
         scale = self.scale
         if (scale & (scale - 1)) == 0:  # power of 2
-            n_stages = int(jnp.log2(scale)) if False else scale.bit_length() - 1
+            n_stages = scale.bit_length() - 1
             for i in range(n_stages):
-                x = nn.Conv(4 * self.num_feat, (3, 3), dtype=self.dtype, name=f'conv{i}')(x)
+                x = _up_conv(x, self.num_feat, 4 * self.num_feat,
+                             f'conv{i}', self.dtype)
                 x = pixel_shuffle(x, 2)
         elif scale == 3:
-            x = nn.Conv(9 * self.num_feat, (3, 3), dtype=self.dtype, name='conv0')(x)
+            x = _up_conv(x, self.num_feat, 9 * self.num_feat, 'conv0',
+                         self.dtype)
             x = pixel_shuffle(x, 3)
         else:
             raise ValueError(f'scale {scale} is not supported. Supported scales: 2^n and 3.')

@@ -109,6 +109,32 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class Conv3x3Params(nn.Module):
+    """nn.Conv's 3x3 param layout (kernel/bias) as raw arrays for the fused
+    conv kernel (ops/conv3x3.py) — checkpoint-compatible with ``nn.Conv``."""
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param('kernel', nn.initializers.lecun_normal(),
+                           (3, 3, self.features_in, self.features_out)),
+                self.param('bias', nn.initializers.zeros,
+                           (self.features_out,)))
+
+
+def _conv3x3(x, params_mod, residual=None, act_slope=None, dtype=None):
+    """Fused-or-XLA 3x3 conv helper: params from ``params_mod`` (same tree
+    as nn.Conv), compute dtype follows the module convention."""
+    from ..ops.conv3x3 import fused_conv3x3
+    w, b = params_mod()
+    if dtype is not None:
+        x = x.astype(dtype)
+    if residual is not None:
+        residual = residual.astype(x.dtype)
+    return fused_conv3x3(x, w, b, residual=residual, act_slope=act_slope)
+
+
 class LNParams(nn.Module):
     """nn.LayerNorm's param layout (scale/bias), returned as raw arrays."""
     features: int
@@ -431,6 +457,14 @@ class RSTB(nn.Module):
         b, n, c = res.shape
         img = res.reshape(b, h, w, c)
         if self.resi_connection == '1conv':
+            from ..ops.conv3x3 import conv_fusion_enabled
+            if conv_fusion_enabled():
+                # tail conv + the RSTB residual in one fused kernel
+                out = _conv3x3(img, Conv3x3Params(self.dim, self.dim,
+                                                  name='conv'),
+                               residual=x.reshape(b, h, w, c),
+                               dtype=self.dtype)
+                return out.reshape(b, n, c)
             img = nn.Conv(self.dim, (3, 3), dtype=self.dtype, name='conv')(img)
         elif self.resi_connection == '3conv':
             img = nn.Conv(self.dim // 4, (3, 3), dtype=self.dtype, name='conv_0')(img)
@@ -515,38 +549,57 @@ class SwinIR(nn.Module):
 
         lrelu = lambda v, s=0.01: nn.leaky_relu(v, negative_slope=s)  # noqa: E731
 
+        from ..ops.conv3x3 import conv_fusion_enabled
+        use_fc = conv_fusion_enabled()
+
+        def fconv(v, cin, cout, name, residual=None, slope=None):
+            """3x3 conv with the residual / leaky-relu epilogue fused into
+            the Pallas conv kernel when enabled (identical param tree)."""
+            if use_fc:
+                return _conv3x3(v, Conv3x3Params(cin, cout, name=name),
+                                residual=residual, act_slope=slope,
+                                dtype=self.dtype)
+            out = nn.Conv(cout, (3, 3), dtype=self.dtype, name=name)(v)
+            if residual is not None:
+                out = out + residual
+            if slope is not None:
+                out = nn.leaky_relu(out, negative_slope=slope)
+            return out
+
+        dim = self.embed_dim
+
         if self.upsampler == 'pixelshuffle':
             feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype, name='conv_first')(x)
-            feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
-                           name='conv_after_body')(forward_features(feat)) + feat
-            feat = lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype,
-                                 name='conv_before_upsample_0')(feat))
+            feat = fconv(forward_features(feat), dim, dim, 'conv_after_body',
+                         residual=feat)
+            feat = fconv(feat, dim, num_feat, 'conv_before_upsample_0',
+                         slope=0.01)
             out = nn.Conv(self.in_chans, (3, 3), dtype=self.dtype, name='conv_last')(
                 Upsample(self.upscale, num_feat, dtype=self.dtype, name='upsample')(feat))
         elif self.upsampler == 'pixelshuffledirect':
             feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype, name='conv_first')(x)
-            feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
-                           name='conv_after_body')(forward_features(feat)) + feat
+            feat = fconv(forward_features(feat), dim, dim, 'conv_after_body',
+                         residual=feat)
             out = pixel_shuffle(nn.Conv(self.in_chans * self.upscale**2, (3, 3),
                                         dtype=self.dtype, name='upsample_0')(feat), self.upscale)
         elif self.upsampler == 'nearest+conv':
             assert self.upscale == 4, 'only support x4 now.'
             feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype, name='conv_first')(x)
-            feat = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
-                           name='conv_after_body')(forward_features(feat)) + feat
-            feat = lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype,
-                                 name='conv_before_upsample_0')(feat))
-            feat = lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype, name='conv_up1')(
-                resize_nearest(feat, 2)), 0.2)
-            feat = lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype, name='conv_up2')(
-                resize_nearest(feat, 2)), 0.2)
+            feat = fconv(forward_features(feat), dim, dim, 'conv_after_body',
+                         residual=feat)
+            feat = fconv(feat, dim, num_feat, 'conv_before_upsample_0',
+                         slope=0.01)
+            feat = fconv(resize_nearest(feat, 2), num_feat, num_feat,
+                         'conv_up1', slope=0.2)
+            feat = fconv(resize_nearest(feat, 2), num_feat, num_feat,
+                         'conv_up2', slope=0.2)
             out = nn.Conv(self.in_chans, (3, 3), dtype=self.dtype, name='conv_last')(
-                lrelu(nn.Conv(num_feat, (3, 3), dtype=self.dtype, name='conv_hr')(feat), 0.2))
+                fconv(feat, num_feat, num_feat, 'conv_hr', slope=0.2))
         else:
             # denoising / CAR: residual around the deep features
             feat_first = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype, name='conv_first')(x)
-            res = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
-                          name='conv_after_body')(forward_features(feat_first)) + feat_first
+            res = fconv(forward_features(feat_first), dim, dim,
+                        'conv_after_body', residual=feat_first)
             out = x + nn.Conv(self.in_chans, (3, 3), dtype=self.dtype, name='conv_last')(res)
 
         return out / self.img_range + mean
