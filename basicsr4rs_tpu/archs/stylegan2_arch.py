@@ -58,16 +58,27 @@ class EqualLinear(nn.Module):
 
 
 def _per_sample_conv(x, w, stride: int = 1, padding='SAME', lhs_dilation: int = 1):
-    """Per-sample conv: x (n,h,w,ci), w (n,ci,k*k,co) -> (n,oh,ow,co)."""
+    """Per-sample conv: x (n,h,w,ci), w (n,ci,k*k,co) -> (n,oh,ow,co).
+
+    Expressed as one grouped conv with ``batch_group_count=n`` (the torch
+    reference's ``F.conv2d(groups=b)`` trick, stylegan2_arch.py:182-287):
+    XLA maps each batch element onto its own filter group. An earlier
+    patch-extraction + einsum formulation materialized the (n,oh,ow,ci*k*k)
+    patch tensor — ~600 MB per 512-channel layer at 256px, all saved for
+    the backward, which RESOURCE_EXHAUSTed a 16G chip on G fwd+bwd."""
     n, h, wd, cin = x.shape
     k = int(math.isqrt(w.shape[2]))
-    patches = jax.lax.conv_general_dilated_patches(
-        x, (k, k), (stride, stride), padding,
+    co = w.shape[3]
+    # (n, ci, k*k, co) -> HWIO (k, k, ci, n*co), group-major out features
+    wt = w.reshape(n, cin, k, k, co).transpose(2, 3, 1, 0, 4)
+    wt = wt.reshape(k, k, cin, n * co)
+    out = jax.lax.conv_general_dilated(
+        x, wt, (stride, stride), padding,
         lhs_dilation=(lhs_dilation, lhs_dilation),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    oh, ow = patches.shape[1], patches.shape[2]
-    patches = patches.reshape(n, oh, ow, cin, k * k)
-    return jnp.einsum('nxyck,ncko->nxyo', patches, w)
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        batch_group_count=n)
+    oh, ow = out.shape[1], out.shape[2]
+    return out.reshape(oh, ow, n, co).transpose(2, 0, 1, 3)
 
 
 class ModulatedConv2d(nn.Module):

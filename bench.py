@@ -257,8 +257,12 @@ def bench_video_steps(iters=3):
     """EDVR-M and BasicVSR++ full train-step ms (same configs as
     scripts/bench_video.py — driver-captured so the judge can re-derive the
     video-family numbers from BENCH artifacts, VERDICT r2 #6)."""
+    import gc
+    import jax
     mod = _load_script('bench_video.py')
     edvr = mod.bench('edvr', batch=4, frames=5, lr_size=64, iters=iters)
+    gc.collect()
+    jax.clear_caches()  # EDVR train state + executables before BasicVSR++
     vpp = mod.bench('basicvsrpp', batch=2, frames=7, lr_size=64, iters=iters)
     return edvr['step_ms'], vpp['step_ms']
 
@@ -396,19 +400,37 @@ def main():
     sw_flops = swinir_m_flops_per_lr_pixel()
     ms_flops = msrresnet_flops_per_lr_pixel()
 
-    sw_mpix, sw_lrpix_s = bench_infer(_swinir_opt(True), batch=8, lr_size=64)
+    def _drop_hbm():
+        # each stage leaves compiled executables + cached constants behind;
+        # by the BasicVSR++ stage the accumulation RESOURCE_EXHAUSTs the
+        # 16G chip — drop caches between stages
+        import gc
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
+    def stage(fn, *a, **k):
+        out = fn(*a, **k)
+        _drop_hbm()
+        return out
+
+    sw_mpix, sw_lrpix_s = stage(bench_infer, _swinir_opt(True), batch=8,
+                                lr_size=64)
     import jax.numpy as jnp
     msr = dict(type='MSRResNet', num_in_ch=3, num_out_ch=3, num_feat=64,
                num_block=16, upscale=4, dtype=jnp.bfloat16)
-    ms_mpix, ms_lrpix_s = bench_infer(dict(msr), batch=128, lr_size=96, iters=8)
-    sw_tr_mpix, sw_tr_lrpix = bench_train(_swinir_opt(True), batch=8, lr_size=64)
-    ms_tr_mpix, ms_tr_lrpix = bench_train(dict(msr), batch=64, lr_size=64)
-    ab = bench_attention_ab()
-    dcn_ms = bench_dcn_train()
-    edvr_ms, vpp_ms = bench_video_steps()
-    resshift_ms = bench_resshift_sampling()
-    sg2_ms = bench_stylegan2_g()
-    synth_ms = bench_realesrgan_synth()
+    ms_mpix, ms_lrpix_s = stage(bench_infer, dict(msr), batch=128, lr_size=96,
+                                iters=8)
+    sw_tr_mpix, sw_tr_lrpix = stage(bench_train, _swinir_opt(True), batch=8,
+                                    lr_size=64)
+    ms_tr_mpix, ms_tr_lrpix = stage(bench_train, dict(msr), batch=64,
+                                    lr_size=64)
+    ab = stage(bench_attention_ab)
+    dcn_ms = stage(bench_dcn_train)
+    edvr_ms, vpp_ms = stage(bench_video_steps)
+    resshift_ms = stage(bench_resshift_sampling)
+    sg2_ms = stage(bench_stylegan2_g)
+    synth_ms = stage(bench_realesrgan_synth)
 
     def mfu(lrpix_s, flops, mult=1.0):
         return round(lrpix_s * flops * mult / peak, 4) if peak else None
