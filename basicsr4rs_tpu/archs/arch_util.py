@@ -143,22 +143,31 @@ def pixel_unshuffle(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return x.reshape(n, h, w, c * r * r)
 
 
+class Conv3x3Params(nn.Module):
+    """nn.Conv's 3x3 param layout (kernel/bias) as raw arrays for the fused
+    conv kernel (ops/conv3x3.py) — checkpoint-compatible with ``nn.Conv``.
+    The single definition of this layout: every fused-conv call site must
+    use it so cross-path checkpoints stay interchangeable."""
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param('kernel', nn.initializers.lecun_normal(),
+                           (3, 3, self.features_in, self.features_out)),
+                self.param('bias', nn.initializers.zeros,
+                           (self.features_out,)))
+
+
 def _up_conv(x, cin, cout, name, dtype):
     """Upsampler 3x3 conv routed through the fused Pallas conv when enabled
     (ops/conv3x3.py; falls back to XLA off-TPU / at unsupported geometry).
     Param tree identical to ``nn.Conv``."""
     from ..ops.conv3x3 import conv_fusion_enabled, fused_conv3x3
 
-    class _P(nn.Module):
-        @nn.compact
-        def __call__(self):
-            return (self.param('kernel', nn.initializers.lecun_normal(),
-                               (3, 3, cin, cout)),
-                    self.param('bias', nn.initializers.zeros, (cout,)))
-
     if not conv_fusion_enabled():
         return nn.Conv(cout, (3, 3), dtype=dtype, name=name)(x)
-    w, b = _P(name=name)()
+    w, b = Conv3x3Params(cin, cout, name=name)()
     if dtype is not None:
         x = x.astype(dtype)
     return fused_conv3x3(x, w, b)

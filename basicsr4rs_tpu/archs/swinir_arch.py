@@ -25,7 +25,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..utils.registry import ARCH_REGISTRY
-from .arch_util import Upsample, pixel_shuffle, resize_nearest, trunc_normal_init
+from .arch_util import (Conv3x3Params, Upsample, pixel_shuffle,
+                        resize_nearest, trunc_normal_init)
 
 
 def window_partition(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
@@ -107,20 +108,6 @@ class DenseParams(nn.Module):
         bias = (self.param('bias', nn.initializers.zeros, (self.features_out,))
                 if self.use_bias else None)
         return kernel, bias
-
-
-class Conv3x3Params(nn.Module):
-    """nn.Conv's 3x3 param layout (kernel/bias) as raw arrays for the fused
-    conv kernel (ops/conv3x3.py) — checkpoint-compatible with ``nn.Conv``."""
-    features_in: int
-    features_out: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param('kernel', nn.initializers.lecun_normal(),
-                           (3, 3, self.features_in, self.features_out)),
-                self.param('bias', nn.initializers.zeros,
-                           (self.features_out,)))
 
 
 def _conv3x3(x, params_mod, residual=None, act_slope=None, dtype=None):

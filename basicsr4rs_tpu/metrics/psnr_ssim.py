@@ -165,18 +165,25 @@ def calculate_psnr_jax(img, img2, crop_border: int, test_y_channel: bool = False
 
 
 def _to_nhwc01(img):
-    """Coerce a metric input to an NHWC [0,1] device array: accepts device
-    NHWC floats (validation outputs), HWC numpy uint8 (tensor2img results —
-    rescaled /255), or HWC float (assumed [0,1], the tensor convention of
-    the reference ``_pt`` variants)."""
+    """Coerce a metric input to an NHWC [0,1] **RGB** device array: accepts
+    device NHWC floats (validation outputs, RGB), HWC numpy uint8
+    (``tensor2img`` results — BGR by that function's default, flipped to RGB
+    here and rescaled /255), or HWC float (assumed RGB [0,1], the tensor
+    convention of the reference ``_pt`` variants). The channel flip only
+    matters for ``test_y_channel`` (PSNR/SSIM are channel-permutation
+    invariant otherwise) but keeps ``rgb2ycbcr_jax`` correct for both input
+    kinds."""
     import jax.numpy as jnp
     arr = jnp.asarray(img)
-    scale = 1. / 255. if arr.dtype == jnp.uint8 else 1.
+    is_uint8 = arr.dtype == jnp.uint8
+    scale = 1. / 255. if is_uint8 else 1.
     arr = arr.astype(jnp.float32) * scale
     if arr.ndim == 2:
         arr = arr[..., None]
     if arr.ndim == 3:
         arr = arr[None]
+    if is_uint8 and arr.shape[-1] == 3:
+        arr = arr[..., ::-1]  # tensor2img emits BGR (img_util.py rgb2bgr=True)
     return arr
 
 

@@ -350,8 +350,9 @@ class SRModel(BaseModel):
                         # device-variant metrics evaluate straight from the
                         # on-device output/gt — no numpy round-trip
                         # (reference psnr_ssim.py:51,172 tensor semantics)
-                        device_data = {'img': self.output,
-                                       'img2': self.batch['gt']}
+                        device_data = {'img': self.output}
+                        if 'gt' in self.batch:
+                            device_data['img2'] = self.batch['gt']
                         self.metric_results[name] += calculate_metric(device_data, opt_)
                     else:
                         self.metric_results[name] += calculate_metric(metric_data, opt_)

@@ -79,7 +79,7 @@ def _conv_kernel(xp_ref, w_ref, b_ref, *rest, hs, h, wd, cin, cout,
         out_ref[0, s * hs:(s + 1) * hs] = out.astype(dt)
 
 
-def _strip_rows(h: int, wd: int, cin: int, cout: int) -> int:
+def _strip_rows(h: int, wd: int, cout: int) -> int:
     """Largest strip height (divides h) whose f32 accumulator stays well
     under VMEM alongside the whole padded image (taps are free slices, so
     bigger strips only cost accumulator space)."""
@@ -101,7 +101,7 @@ def _pallas_conv3x3(x, w, b, residual, act_slope, interpret):
 
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
-    hs = _strip_rows(h, wd, cin, cout)
+    hs = _strip_rows(h, wd, cout)
     # one extra bottom pad row: the last strip's (dy=2, dx=2) tap slice
     # runs 2 elements past (h+2)*(wd+2) in flat coords (the overrun only
     # feeds garbage columns, but the slice must stay in bounds)
@@ -231,7 +231,7 @@ def fused_conv3x3(x, w, b, residual=None, act_slope=None, interpret=False):
     # whole padded image + whole output block (+ optional residual block)
     # + weights must fit VMEM comfortably
     bpe = x.dtype.itemsize
-    vmem = ((h + 2) * (wd + 2) * cin * bpe
+    vmem = ((h + 3) * (wd + 2) * cin * bpe  # +3: pad + slice-bounds row
             + h * wd * cout * bpe * (2 if residual is not None else 1)
             + 9 * cin * cout * bpe)
     if vmem > 9e6 or h < 8 or wd % 8 != 0 or cin < 16:

@@ -373,6 +373,16 @@ def modulated_deform_conv(x: jnp.ndarray,
             method = 'pallas' if slab <= 4 * 1024 * 1024 else 'onehot'
 
     if method in ('pallas', 'pallas_interpret'):
+        if mesh is not None and not mesh_shardable:
+            # an explicit pallas request that cannot be shard_map'ed would
+            # emit an opaque un-partitionable pallas_call into the sharded
+            # step — fail loudly instead ('auto' routes to onehot here)
+            raise ValueError(
+                f"method='{method}' requested under a multi-device mesh "
+                f'(data={mesh_data}, spatial={mesh_spatial}) that the fused '
+                f'sampler cannot shard: requires spatial=1 and (batch*deform_'
+                f'groups)={n * dg} divisible by data. Use method="auto" or '
+                f'"onehot".')
         # positions for every tap in padded coordinates, (G, P, 2*K2)
         ki = jnp.asarray([dilation * (k // kw) for k in range(kh * kw)], jnp.float32)
         kj = jnp.asarray([dilation * (k % kw) for k in range(kh * kw)], jnp.float32)

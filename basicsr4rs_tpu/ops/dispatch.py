@@ -99,6 +99,29 @@ def interpret_forced() -> bool:
     return getattr(_scope, 'force_interpret', False)
 
 
+def window_shard_specs(data: int, spatial: int, b: int, h: int, w: int,
+                       window_size: int, nwb: int):
+    """The sharding contract shared by every fused window op (attention
+    branch, joint block, raw window attention): batch shards over 'data';
+    H shards over 'spatial' iff every shard keeps whole window rows; a
+    per-window bias (shift masks, nwb = nwh*nww row-major) shards its
+    window axis over 'spatial' so shard-local window-row indices hit the
+    right mask rows. Weight/bias cotangents are psum'd over unmapped axes
+    by the shard_map transpose.
+
+    Returns ``(xspec, bias_spec)``, or ``None`` when the geometry cannot
+    shard evenly (the call site falls back to its partitionable XLA path).
+    """
+    from jax.sharding import PartitionSpec as P
+    ok = (b % data == 0 and h % (spatial * window_size) == 0
+          and (nwb == 1 or nwb == (h // window_size) * (w // window_size)))
+    if not ok:
+        return None
+    xspec = P('data', 'spatial') if spatial > 1 else P('data')
+    bias_spec = P('spatial') if (spatial > 1 and nwb > 1) else P()
+    return xspec, bias_spec
+
+
 def shard_wrap(fn, mesh: Mesh, in_specs, out_specs):
     """shard_map a kernel-calling fn over ``mesh``. ``check_vma=False``:
     the body is an opaque custom call Pallas can't derive varying-manual

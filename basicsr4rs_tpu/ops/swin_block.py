@@ -425,25 +425,19 @@ def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
     mesh, data, spatial = dispatch.mesh_info()
     if mesh is not None:
-        # multi-device: per-shard kernel under shard_map. Batch shards over
-        # 'data'; H shards over 'spatial' iff every shard keeps whole window
-        # rows. A per-window bias (shift masks, nWb = nwh*nww row-major)
-        # shards its window axis over 'spatial' so shard-local window-row
-        # indices hit the right mask rows; weight/bias cotangents are
-        # psum'd over unmapped axes by the shard_map transpose.
+        # multi-device: per-shard kernel under shard_map; contract in
+        # dispatch.window_shard_specs.
         from jax.sharding import PartitionSpec as P
         b, h, w, _ = x.shape
         nwb = bias.shape[0]
-        ok = (b % data == 0 and h % (spatial * window_size) == 0
-              and (nwb == 1
-                   or nwb == (h // window_size) * (w // window_size)))
-        if not ok:
+        specs = dispatch.window_shard_specs(data, spatial, b, h, w,
+                                            window_size, nwb)
+        if specs is None:
             out = reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
                                             wproj, bproj, bias, window_size,
                                             num_heads, scale)
             return x + out if add_residual else out
-        xspec = P('data', 'spatial') if spatial > 1 else P('data')
-        bias_spec = P('spatial') if (spatial > 1 and nwb > 1) else P()
+        xspec, bias_spec = specs
         core = functools.partial(_fused_block_vjp, window_size, num_heads,
                                  scale, interpret, add_residual)
         fn = dispatch.shard_wrap(
@@ -502,6 +496,22 @@ def _const_spec(shape, ndim_grid=3):
     return pl.BlockSpec(shape, lambda *_: (0,) * len(shape))
 
 
+def _row_batch(w_chunks, h, ws, cw, c, num_heads, pn, hidden=0):
+    """Window-rows per forward grid step (full-width chunks only): fewer,
+    bigger grid cells amortize per-step overhead; rows are independent so
+    the kernel just loops them with the right per-row bias slice. The
+    10 MB cap bounds the per-step VMEM working set (activations, scores,
+    and — for the joint kernel — the MLP hidden)."""
+    rows = 1
+    if w_chunks == 1:
+        nwh = h // ws
+        per_token = c * 4 * 3 + num_heads * pn * 4 * 2 + hidden * 4 * 2
+        for cand in range(2, nwh + 1):
+            if nwh % cand == 0 and cand * ws * cw * per_token <= 10e6:
+                rows = cand
+    return rows
+
+
 def _fused_block_forward(window_size, num_heads, scale, interpret,
                          add_residual, x, ln_scale, ln_bias, wqkv, bqkv,
                          wproj, bproj, bias):
@@ -521,16 +531,7 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
                                               hd, hdp)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
-    # multiple window-rows per grid step (full-width chunks only): fewer,
-    # bigger grid cells amortize per-step overhead; rows are independent so
-    # the kernel just loops them with the right per-row bias slice
-    rows = 1
-    if w_chunks == 1:
-        nwh = h // ws
-        per_token = c * 4 * 3 + num_heads * pn * 4 * 2
-        for cand in range(2, nwh + 1):
-            if nwh % cand == 0 and cand * ws * cw * per_token <= 10e6:
-                rows = cand
+    rows = _row_batch(w_chunks, h, ws, cw, c, num_heads, pn)
     bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
     bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn,
                                             rows * ng, w_chunks, 'fwd')
@@ -666,13 +667,7 @@ def _fused_joint_forward(window_size, num_heads, scale, interpret, x,
                                               hd, hdp)
     w_chunks = w // cw
     ng, pn = (cw // ws) // pack, pack * n
-    rows = 1
-    if w_chunks == 1:
-        nwh = h // ws
-        per_token = c * 4 * 3 + num_heads * pn * 4 * 2 + hidden * 4 * 2
-        for cand in range(2, nwh + 1):
-            if nwh % cand == 0 and cand * ws * cw * per_token <= 10e6:
-                rows = cand
+    rows = _row_batch(w_chunks, h, ws, cw, c, num_heads, pn, hidden=hidden)
     bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
     bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn,
                                             rows * ng, w_chunks, 'fwd')
@@ -778,19 +773,16 @@ def fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
 
     mesh, data, spatial = dispatch.mesh_info()
     if mesh is not None:
-        # same sharding contract as fused_swin_attn_block: batch over
-        # 'data', whole window rows over 'spatial', per-window bias rows
-        # sharded with them; weight cotangents psum'd by the transpose.
+        # same sharding contract as fused_swin_attn_block
+        # (dispatch.window_shard_specs).
         from jax.sharding import PartitionSpec as P
         b, h, w, _ = x.shape
         nwb = bias.shape[0]
-        ok = (b % data == 0 and h % (spatial * window_size) == 0
-              and (nwb == 1
-                   or nwb == (h // window_size) * (w // window_size)))
-        if not ok:
+        specs = dispatch.window_shard_specs(data, spatial, b, h, w,
+                                            window_size, nwb)
+        if specs is None:
             return _reference(x)
-        xspec = P('data', 'spatial') if spatial > 1 else P('data')
-        bias_spec = P('spatial') if (spatial > 1 and nwb > 1) else P()
+        xspec, bias_spec = specs
         core = functools.partial(_fused_joint_vjp, window_size, num_heads,
                                  scale, interpret)
         fn = dispatch.shard_wrap(

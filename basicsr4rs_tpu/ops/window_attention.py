@@ -164,20 +164,16 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray, window_size: int
 
     mesh, data, spatial = dispatch.mesh_info()
     if mesh is not None:
-        # multi-device: per-shard kernel under shard_map (batch over 'data',
-        # whole window rows over 'spatial'; per-window bias shards its
-        # row-major window axis, see fused_swin_attn_block)
-        from jax.sharding import PartitionSpec as P
+        # multi-device: per-shard kernel under shard_map; contract in
+        # dispatch.window_shard_specs.
         b, h, w, _ = qkv.shape
         nwb = bias.shape[0]
-        ok = (b % data == 0 and h % (spatial * window_size) == 0
-              and (nwb == 1
-                   or nwb == (h // window_size) * (w // window_size)))
-        if not ok:
+        specs = dispatch.window_shard_specs(data, spatial, b, h, w,
+                                            window_size, nwb)
+        if specs is None:
             return reference_window_attention(qkv, bias, window_size,
                                               num_heads, scale)
-        qspec = P('data', 'spatial') if spatial > 1 else P('data')
-        bias_spec = P('spatial') if (spatial > 1 and nwb > 1) else P()
+        qspec, bias_spec = specs
         core = functools.partial(_fused_fwd_vjp, window_size, num_heads,
                                  scale, interpret)
         fn = dispatch.shard_wrap(core, mesh, in_specs=(qspec, bias_spec),

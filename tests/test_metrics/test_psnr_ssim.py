@@ -95,3 +95,31 @@ def test_pt_and_jax_registry_names_resolve():
     p2 = calculate_metric({'img': a01, 'img2': b01},
                           {'type': 'calculate_psnr_jax', 'crop_border': 4})
     assert p2 == pytest.approx(calculate_psnr(a, b, crop_border=4), abs=1e-2)
+
+
+def test_pt_y_channel_bgr_convention():
+    """Y-channel parity between the numpy path (BGR uint8 from tensor2img,
+    bgr2ycbcr) and the device _pt wrappers, which must flip the uint8 BGR
+    input to RGB before rgb2ycbcr — a silent Y-mismatch otherwise (the
+    luma weights are asymmetric in R and B)."""
+    from basicsr4rs_tpu.metrics import calculate_metric
+    a, b = _pair()
+    gold_p = calculate_psnr(a, b, crop_border=4, test_y_channel=True)
+    gold_s = calculate_ssim(a, b, crop_border=4, test_y_channel=True)
+    data = {'img': a.astype(np.uint8), 'img2': b.astype(np.uint8)}
+    p = calculate_metric(data, {'type': 'calculate_psnr_pt', 'crop_border': 4,
+                                'test_y_channel': True})
+    s = calculate_metric(data, {'type': 'calculate_ssim_pt', 'crop_border': 4,
+                                'test_y_channel': True})
+    assert p == pytest.approx(gold_p, abs=5e-2)
+    assert s == pytest.approx(gold_s, abs=1e-3)
+
+    # RGB float inputs (the reference _pt tensor convention) must NOT be
+    # flipped: Y from rgb2ycbcr directly.
+    import jax.numpy as jnp
+    a01 = jnp.asarray((a[..., ::-1] / 255.).astype(np.float32)[None])  # RGB
+    b01 = jnp.asarray((b[..., ::-1] / 255.).astype(np.float32)[None])
+    p2 = calculate_metric({'img': a01, 'img2': b01},
+                          {'type': 'calculate_psnr_pt', 'crop_border': 4,
+                           'test_y_channel': True})
+    assert p2 == pytest.approx(gold_p, abs=5e-2)
