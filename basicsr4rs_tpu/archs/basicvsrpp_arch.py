@@ -9,7 +9,7 @@ are always computed.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -71,11 +71,50 @@ class SecondOrderDeformableAlignment(nn.Module):
                                      padding=self.padding, deform_groups=dg)
 
 
+class _PPPropStep(nn.Module):
+    """One second-order propagation step (reference basicvsrpp_arch.py:186-235),
+    lifted under ``nn.scan`` so compile time is independent of T.
+
+    The reference's data-dependent step structure (i==0 skips alignment,
+    i==1 has no second-order neighbour) is made scan-uniform with two
+    broadcast masks: ``m1`` zeroes the aligned features on the first step
+    (alignment output unused, exactly like the reference's skipped call) and
+    ``m2`` zeroes the second-order inputs on the first two steps (the
+    reference feeds explicit zeros there)."""
+    mid_channels: int
+    num_blocks: int
+    max_residue_magnitude: float
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        prop1, prop2 = carry  # feat_prop at i-1, i-2
+        feat_current, prevs, flow_n1, flow_prev, m1, m2 = xs
+        cond_n1 = flow_warp(prop1, flow_n1)
+        feat_n2 = prop2 * m2
+        flow_n2 = (flow_n1 + flow_warp(flow_prev, flow_n1)) * m2
+        cond_n2 = flow_warp(feat_n2, flow_n2) * m2
+        cond = jnp.concatenate([cond_n1, feat_current, cond_n2], axis=-1)
+        fp_in = jnp.concatenate([prop1, feat_n2], axis=-1)
+        aligned = SecondOrderDeformableAlignment(
+            2 * self.mid_channels, self.mid_channels, 3, padding=1,
+            deformable_groups=16, max_residue_magnitude=self.max_residue_magnitude,
+            dtype=self.dtype, name='deform_align')(fp_in, cond, flow_n1, flow_n2)
+        feat_prop = aligned * m1
+        feat = jnp.concatenate([feat_current, prevs, feat_prop], axis=-1)
+        new_prop = feat_prop + ConvResidualBlocks(self.mid_channels, self.num_blocks,
+                                                  dtype=self.dtype, name='backbone')(feat)
+        new_prop = new_prop.astype(prop1.dtype)
+        return (new_prop, prop1), new_prop
+
+
 @ARCH_REGISTRY.register()
 class BasicVSRPlusPlus(nn.Module):
     """(reference basicvsrpp_arch.py:15-345)"""
-    # ModuleDict branch keys: deform_align.backward_1 -> deform_align_backward_1
-    TORCH_KEY_RULES = ((r'\.(backward_\d|forward_\d)\.', r'_\1.'),)
+    # ModuleDict branch keys: deform_align.backward_1 / backbone.backward_1
+    # live inside the scanned step module: prop_backward_1.{deform_align,backbone}
+    TORCH_KEY_RULES = ((r'(deform_align|backbone)\.(backward_\d|forward_\d)\.',
+                        r'prop_\2.\1.'),)
 
     mid_channels: int = 64
     num_blocks: int = 7
@@ -108,8 +147,7 @@ class BasicVSRPlusPlus(nn.Module):
                                 dtype=self.dtype, name='feat_extract_2')(x0))
             feats_spatial = ConvResidualBlocks(mc, 5, dtype=self.dtype, name='feat_extract_4')(x0)
             fh, fw = h // 4, w // 4
-        feats: Dict[str, List] = {'spatial': [feats_spatial.reshape(n, t, fh, fw, mc)[:, i]
-                                              for i in range(t)]}
+        feats: Dict[str, Any] = {}  # per-branch (n, t, fh, fw, mc), frame order
 
         # flows on the downsampled sequence
         dh, dw = lqs_downsample.shape[2], lqs_downsample.shape[3]
@@ -121,56 +159,52 @@ class BasicVSRPlusPlus(nn.Module):
         flows_backward = spynet(l1, l2).reshape(n, t - 1, dh, dw, 2)
         flows_forward = spynet(l2, l1).reshape(n, t - 1, dh, dw, 2)
 
-        # second-order propagation through 4 branches (reference :159-235)
-        for iter_ in [1, 2]:
-            for direction in ['backward', 'forward']:
-                module = f'{direction}_{iter_}'
-                feats[module] = []
-                flows = flows_backward if direction == 'backward' else flows_forward
+        # second-order propagation through 4 branches (reference :159-235),
+        # each branch one lifted nn.scan over iteration order
+        feats_spatial_arr = feats_spatial.reshape(n, t, fh, fw, mc)
+        order = ['backward_1', 'forward_1', 'backward_2', 'forward_2']
+        for module in order:
+            direction = module.split('_')[0]
+            flows = flows_backward if direction == 'backward' else flows_forward
 
-                deform_align = SecondOrderDeformableAlignment(
-                    2 * mc, mc, 3, padding=1, deformable_groups=16,
-                    max_residue_magnitude=self.max_residue_magnitude,
-                    dtype=self.dtype, name=f'deform_align_{module}')
-                n_in = (2 + (0 if module == 'backward_1' else
-                             1 if module == 'forward_1' else
-                             2 if module == 'backward_2' else 3)) * mc
-                backbone = ConvResidualBlocks(mc, self.num_blocks, dtype=self.dtype,
-                                              name=f'backbone_{module}')
-                del n_in  # input width is implied by the concat below
+            frame_idx = list(range(t))
+            flow_idx = list(range(-1, t - 1))
+            if direction == 'backward':
+                frame_idx = frame_idx[::-1]
+                flow_idx = frame_idx
 
-                frame_idx = list(range(t))
-                flow_idx = list(range(-1, t - 1))
-                if direction == 'backward':
-                    frame_idx = frame_idx[::-1]
-                    flow_idx = frame_idx
+            # gather per-step inputs into iteration order (static indices)
+            fi = jnp.asarray(frame_idx)
+            feat_cur = feats_spatial_arr[:, fi]
+            prev_keys = order[:order.index(module)]
+            if prev_keys:
+                prevs = jnp.concatenate([feats[k][:, fi] for k in prev_keys], axis=-1)
+            else:
+                prevs = jnp.zeros((n, t, fh, fw, 0), lqs.dtype)
+            if t > 1:
+                clamp = lambda v: min(max(v, 0), t - 2)  # noqa: E731
+                n1_idx = jnp.asarray([clamp(flow_idx[i]) for i in range(t)])
+                pv_idx = jnp.asarray([clamp(flow_idx[i - 1]) if i >= 1 else 0
+                                      for i in range(t)])
+                flow_n1 = flows[:, n1_idx]
+                flow_prev = flows[:, pv_idx]
+            else:  # no flows exist; alignment is fully masked at i == 0
+                flow_n1 = flow_prev = jnp.zeros((n, 1, dh, dw, 2), lqs.dtype)
+            steps = jnp.arange(t).reshape(1, t, 1, 1, 1)
+            ones = jnp.ones((n, 1, 1, 1, 1), lqs.dtype)
+            m1 = (steps >= 1).astype(lqs.dtype) * ones
+            m2 = (steps >= 2).astype(lqs.dtype) * ones
 
-                feat_prop = jnp.zeros((n, fh, fw, mc), lqs.dtype)
-                for i, idx in enumerate(frame_idx):
-                    feat_current = feats['spatial'][idx]
-                    if i > 0:
-                        flow_n1 = flows[:, flow_idx[i]]
-                        cond_n1 = flow_warp(feat_prop, flow_n1)
-                        feat_n2 = jnp.zeros_like(feat_prop)
-                        flow_n2 = jnp.zeros_like(flow_n1)
-                        cond_n2 = jnp.zeros_like(cond_n1)
-                        if i > 1:
-                            feat_n2 = feats[module][-2]
-                            flow_n2 = flows[:, flow_idx[i - 1]]
-                            flow_n2 = flow_n1 + flow_warp(flow_n2, flow_n1)
-                            cond_n2 = flow_warp(feat_n2, flow_n2)
-                        cond = jnp.concatenate([cond_n1, feat_current, cond_n2], axis=-1)
-                        feat_prop = jnp.concatenate([feat_prop, feat_n2], axis=-1)
-                        feat_prop = deform_align(feat_prop, cond, flow_n1, flow_n2)
-
-                    feat = ([feat_current] +
-                            [feats[k][idx] for k in feats if k not in ('spatial', module)] +
-                            [feat_prop])
-                    feat_prop = feat_prop + backbone(jnp.concatenate(feat, axis=-1))
-                    feats[module].append(feat_prop)
-
-                if direction == 'backward':
-                    feats[module] = feats[module][::-1]
+            init = jnp.zeros((n, fh, fw, mc), lqs.dtype)
+            Scan = nn.scan(_PPPropStep, variable_broadcast='params',
+                           split_rngs={'params': False}, in_axes=1, out_axes=1)
+            _, ys = Scan(mc, self.num_blocks, self.max_residue_magnitude,
+                         dtype=self.dtype, name=f'prop_{module}')(
+                             (init, init),
+                             (feat_cur, prevs, flow_n1, flow_prev, m1, m2))
+            if direction == 'backward':
+                ys = ys[:, ::-1]  # back to frame order
+            feats[module] = ys
 
         # upsampling (reference :237-280)
         reconstruction = ConvResidualBlocks(mc, 5, dtype=self.dtype, name='reconstruction')
@@ -179,10 +213,9 @@ class BasicVSRPlusPlus(nn.Module):
         conv_hr = nn.Conv(64, (3, 3), dtype=self.dtype, name='conv_hr')
         conv_last = nn.Conv(3, (3, 3), dtype=self.dtype, name='conv_last')
 
-        hr_all = jnp.stack(
-            [jnp.concatenate([feats['spatial'][i]] +
-                             [feats[k][i] for k in feats if k != 'spatial'], axis=-1)
-             for i in range(t)], axis=1).reshape(n * t, fh, fw, 5 * mc)
+        hr_all = jnp.concatenate(
+            [feats_spatial_arr] + [feats[k] for k in order],
+            axis=-1).reshape(n * t, fh, fw, 5 * mc)
         hr = reconstruction(hr_all)
         hr = _lrelu(pixel_shuffle(upconv1(hr), 2))
         hr = _lrelu(pixel_shuffle(upconv2(hr), 2))

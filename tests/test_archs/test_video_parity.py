@@ -117,8 +117,8 @@ def test_basicvsrpp_shape_contract():
     params = net.init(jax.random.PRNGKey(0), x)['params']
     out = net.apply({'params': params}, x)
     assert out.shape == (1, 4, 256, 256, 3)
-    assert 'deform_align_backward_1' in params
-    assert 'conv_offset_6' in params['deform_align_backward_1']
+    assert 'prop_backward_1' in params
+    assert 'conv_offset_6' in params['prop_backward_1']['deform_align']
 
 
 def test_duf_parity():
