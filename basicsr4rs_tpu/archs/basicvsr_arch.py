@@ -139,11 +139,16 @@ class EDVRFeatureExtractor(nn.Module):
         feat_l2 = feat_l2.reshape(b, n, h // 2, w // 2, -1)
         feat_l3 = feat_l3.reshape(b, n, h // 4, w // 4, -1)
 
+        # frames folded into the batch axis: one PCD body at batch b*n
+        # instead of n unrolled bodies (see edvr_arch.EDVR.__call__)
         pcd = PCDAlignment(self.num_feat, 8, dtype=self.dtype, name='pcd_align')
-        ref_feat_l = [feat_l1[:, center], feat_l2[:, center], feat_l3[:, center]]
-        aligned = [pcd([feat_l1[:, i], feat_l2[:, i], feat_l3[:, i]], ref_feat_l)
-                   for i in range(n)]
-        aligned_feat = jnp.stack(aligned, axis=1)
+        nbr_l = [feat_l1.reshape(b * n, h, w, -1),
+                 feat_l2.reshape(b * n, h // 2, w // 2, -1),
+                 feat_l3.reshape(b * n, h // 4, w // 4, -1)]
+        ref_l = [jnp.repeat(feats[:, center:center + 1], n, axis=1)
+                 .reshape(b * n, *feats.shape[2:])
+                 for feats in (feat_l1, feat_l2, feat_l3)]
+        aligned_feat = pcd(nbr_l, ref_l).reshape(b, n, h, w, -1)
         return TSAFusion(self.num_feat, self.num_input_frame, center, dtype=self.dtype,
                          name='fusion')(aligned_feat)
 

@@ -197,13 +197,19 @@ class EDVR(nn.Module):
         feat_l2 = feat_l2.reshape(b, t, h // 2, w // 2, -1)
         feat_l3 = feat_l3.reshape(b, t, h // 4, w // 4, -1)
 
+        # The reference aligns each neighbor in a python loop over t
+        # (edvr_arch.py:204-210) — t unrolled PCD/DCN bodies with batch b.
+        # PCD is per-sample, so fold frames into the batch axis instead:
+        # ONE body at batch b*t (t-times-larger MXU matmuls at these small
+        # spatial dims, and compile time independent of num_frame).
         pcd = PCDAlignment(self.num_feat, self.deformable_groups, dtype=self.dtype, name='pcd_align')
-        ref_feat_l = [feat_l1[:, center], feat_l2[:, center], feat_l3[:, center]]
-        aligned = []
-        for i in range(t):
-            nbr_feat_l = [feat_l1[:, i], feat_l2[:, i], feat_l3[:, i]]
-            aligned.append(pcd(nbr_feat_l, ref_feat_l))
-        aligned_feat = jnp.stack(aligned, axis=1)  # (b, t, h, w, c)
+        nbr_feat_l = [feat_l1.reshape(b * t, h, w, -1),
+                      feat_l2.reshape(b * t, h // 2, w // 2, -1),
+                      feat_l3.reshape(b * t, h // 4, w // 4, -1)]
+        ref_feat_l = [jnp.repeat(feats[:, center:center + 1], t, axis=1)
+                      .reshape(b * t, *feats.shape[2:])
+                      for feats in (feat_l1, feat_l2, feat_l3)]
+        aligned_feat = pcd(nbr_feat_l, ref_feat_l).reshape(b, t, h, w, -1)
 
         if self.with_tsa:
             feat = TSAFusion(self.num_feat, self.num_frame, center, dtype=self.dtype,
