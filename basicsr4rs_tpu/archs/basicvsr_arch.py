@@ -1,16 +1,19 @@
 """BasicVSR / IconVSR — recurrent bidirectional video SR
 (reference: basicsr/archs/basicvsr_arch.py:12-336). NHWC, frames (B,T,H,W,C).
 
-TPU-native notes: the temporal recurrence is a lifted ``nn.scan`` (compile
-time independent of T; params broadcast across steps), and the per-frame
-reconstruction head runs batched over (B*T) frames — bigger matmuls for the
-MXU than the reference's per-frame python loop. IconVSR keeps a python loop
-because of sparse keyframe refills (T is small in training).
+TPU-native notes: all temporal recurrences (BasicVSR's trunks AND IconVSR's
+keyframe-refill propagation) are lifted ``nn.scan``s — compile time
+independent of T, params broadcast across steps. IconVSR's sparse keyframe
+refills are scan-uniform: the fusion conv runs every step and a per-step
+mask selects it only at keyframes; keyframe EDVR features are extracted in
+ONE batched call (b*K) and ride the scan as a constant carry, dynamically
+indexed per step. Per-frame reconstruction heads run batched over (B*T)
+frames — bigger matmuls for the MXU than the reference's per-frame loops.
 """
 
 from __future__ import annotations
 
-from typing import Any, List, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -153,9 +156,45 @@ class EDVRFeatureExtractor(nn.Module):
                          name='fusion')(aligned_feat)
 
 
+class _IconPropStep(nn.Module):
+    """IconVSR recurrence step under ``nn.scan``: warp, keyframe-feature
+    refill (masked select — keyframes are sparse but the fusion conv is
+    cheap), trunk. Keyframe features ride along as a constant (K,b,h,w,c)
+    carry and are dynamically indexed per step, so memory stays K-sized
+    on long eval clips."""
+    num_feat: int
+    num_block: int
+    with_extra: bool  # forward branch also concats the backward feature
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        feat_prop, kf_feats = carry
+        if self.with_extra:
+            x_i, extra, flow, kf_idx, is_kf = xs
+        else:
+            x_i, flow, kf_idx, is_kf = xs
+            extra = None
+        feat_prop = flow_warp(feat_prop, flow)
+        kf_feat = jax.lax.dynamic_index_in_dim(kf_feats, kf_idx[0], axis=0,
+                                               keepdims=False)
+        fused = nn.Conv(self.num_feat, (3, 3), dtype=self.dtype, name='fusion')(
+            jnp.concatenate([feat_prop, kf_feat], axis=-1))
+        feat_prop = jnp.where(is_kf > 0, fused, feat_prop)
+        cat = [x_i, extra, feat_prop] if self.with_extra else [x_i, feat_prop]
+        feat_prop = ConvResidualBlocks(self.num_feat, self.num_block, dtype=self.dtype,
+                                       name='trunk')(jnp.concatenate(cat, axis=-1))
+        return (feat_prop, kf_feats), feat_prop
+
+
 @ARCH_REGISTRY.register()
 class IconVSR(nn.Module):
     """(reference basicvsr_arch.py:120-268)"""
+    # torch: flat backward_trunk.main.* / backward_fusion.*; here both live
+    # inside the scanned step module prop_backward.{trunk,fusion}
+    TORCH_KEY_RULES = ((r'^(backward|forward)_trunk\.main\.', r'prop_\1.trunk.main.'),
+                       (r'^(backward|forward)_fusion\.', r'prop_\1.fusion.'))
+
     num_feat: int = 64
     num_block: int = 15
     keyframe_stride: int = 5
@@ -194,46 +233,46 @@ class IconVSR(nn.Module):
             raise ValueError(f'Unsupported temporal_padding {tp}')
         num_frames = 2 * tp + 1
         edvr = EDVRFeatureExtractor(num_frames, self.num_feat, dtype=self.dtype, name='edvr')
-        feats_keyframe = {i: edvr(x_pad[:, i:i + num_frames]) for i in keyframe_idx}
+        # one extractor body at batch b*K instead of K unrolled bodies
+        # (reference loops get_keyframe_feature per keyframe, :205-216)
+        kf_windows = jnp.concatenate([x_pad[:, i:i + num_frames] for i in keyframe_idx], axis=0)
+        kf_feats = edvr(kf_windows).reshape(len(keyframe_idx), b, h, w, self.num_feat)
 
-        backward_trunk = ConvResidualBlocks(self.num_feat, self.num_block,
-                                            dtype=self.dtype, name='backward_trunk')
-        forward_trunk = ConvResidualBlocks(self.num_feat, self.num_block,
-                                           dtype=self.dtype, name='forward_trunk')
-        backward_fusion = nn.Conv(self.num_feat, (3, 3), dtype=self.dtype, name='backward_fusion')
-        forward_fusion = nn.Conv(self.num_feat, (3, 3), dtype=self.dtype, name='forward_fusion')
+        # per-step keyframe metadata (frame order)
+        kf_pos = [keyframe_idx.index(i) if i in keyframe_idx else 0 for i in range(n)]
+        kf_idx = jnp.asarray(kf_pos, jnp.int32).reshape(1, n)
+        is_kf = jnp.asarray([1. if i in keyframe_idx else 0. for i in range(n)],
+                            x.dtype).reshape(1, n, 1, 1, 1) * jnp.ones(
+                                (b, 1, 1, 1, 1), x.dtype)
 
-        # backward branch (python loop: keyframe refills are sparse/static)
-        out_l: List[Any] = [None] * n
-        feat_prop = jnp.zeros((b, h, w, self.num_feat), x.dtype)
-        for i in range(n - 1, -1, -1):
-            x_i = x[:, i]
-            if i < n - 1:
-                feat_prop = flow_warp(feat_prop, flows_backward[:, i])
-            if i in keyframe_idx:
-                feat_prop = backward_fusion(jnp.concatenate([feat_prop, feats_keyframe[i]], axis=-1))
-            feat_prop = backward_trunk(jnp.concatenate([x_i, feat_prop], axis=-1))
-            out_l[i] = feat_prop
+        zero_flow = jnp.zeros((b, 1, h, w, 2), x.dtype)
+        init = jnp.zeros((b, h, w, self.num_feat), x.dtype)
+
+        def _scan(reverse):
+            return nn.scan(_IconPropStep, variable_broadcast='params',
+                           split_rngs={'params': False}, in_axes=1, out_axes=1,
+                           reverse=reverse)
+
+        # backward branch: dummy zero flow on the first (=last) step, where
+        # warping the zero init is a no-op either way
+        flows_b = jnp.concatenate([flows_backward, zero_flow], axis=1)
+        _, out_l = _scan(True)(self.num_feat, self.num_block, with_extra=False,
+                               dtype=self.dtype, name='prop_backward')(
+                                   (init, kf_feats), (x, flows_b, kf_idx, is_kf))
+
+        # forward branch consumes the backward features per frame
+        flows_f = jnp.concatenate([zero_flow, flows_forward], axis=1)
+        _, feats = _scan(False)(self.num_feat, self.num_block, with_extra=True,
+                                dtype=self.dtype, name='prop_forward')(
+                                    (init, kf_feats), (x, out_l, flows_f, kf_idx, is_kf))
 
         upconv1 = nn.Conv(self.num_feat * 4, (3, 3), dtype=self.dtype, name='upconv1')
         upconv2 = nn.Conv(64 * 4, (3, 3), dtype=self.dtype, name='upconv2')
         conv_hr = nn.Conv(64, (3, 3), dtype=self.dtype, name='conv_hr')
         conv_last = nn.Conv(3, (3, 3), dtype=self.dtype, name='conv_last')
 
-        # forward branch
-        feat_prop = jnp.zeros_like(feat_prop)
-        feats = []
-        for i in range(n):
-            x_i = x[:, i]
-            if i > 0:
-                feat_prop = flow_warp(feat_prop, flows_forward[:, i - 1])
-            if i in keyframe_idx:
-                feat_prop = forward_fusion(jnp.concatenate([feat_prop, feats_keyframe[i]], axis=-1))
-            feat_prop = forward_trunk(jnp.concatenate([x_i, out_l[i], feat_prop], axis=-1))
-            feats.append(feat_prop)
-
         # reconstruction head, batched over frames
-        feat_all = jnp.stack(feats, axis=1).reshape(b * n, h, w, self.num_feat)
+        feat_all = feats.reshape(b * n, h, w, self.num_feat)
         out = _lrelu(pixel_shuffle(upconv1(feat_all), 2))
         out = _lrelu(pixel_shuffle(upconv2(out), 2))
         out = _lrelu(conv_hr(out))
