@@ -191,9 +191,12 @@ class _IconPropStep(nn.Module):
 class IconVSR(nn.Module):
     """(reference basicvsr_arch.py:120-268)"""
     # torch: flat backward_trunk.main.* / backward_fusion.*; here both live
-    # inside the scanned step module prop_backward.{trunk,fusion}
+    # inside the scanned step module prop_backward.{trunk,fusion}. The EDVR
+    # extractor's PCD ModuleDict levels need the same .l3. -> _l3. fuse as
+    # the EDVR arch itself.
     TORCH_KEY_RULES = ((r'^(backward|forward)_trunk\.main\.', r'prop_\1.trunk.main.'),
-                       (r'^(backward|forward)_fusion\.', r'prop_\1.fusion.'))
+                       (r'^(backward|forward)_fusion\.', r'prop_\1.fusion.'),
+                       (r'\.(l\d)\.', r'_\1.'))
 
     num_feat: int = 64
     num_block: int = 15

@@ -121,6 +121,67 @@ def test_basicvsrpp_shape_contract():
     assert 'conv_offset_6' in params['prop_backward_1']['deform_align']
 
 
+def _flax_shapes(tree, pre=''):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flax_shapes(v, pre + k + '/'))
+        else:
+            out[pre + k] = tuple(v.shape)
+    return out
+
+
+def test_iconvsr_torch_key_conversion():
+    """The reference IconVSR can't run forward here (CUDA DCN; its CPU
+    build even drops the DCN pack weights from the PCD), but its REAL
+    state_dict pins our TORCH_KEY_RULES: conversion must produce exactly
+    our init param tree — keys AND shapes — minus only the dcnpack
+    subtrees, including the PCD ModuleDict levels and the scan-scoped
+    trunk/fusion."""
+    ref_mod = load_ref_module('basicsr/archs/basicvsr_arch.py')
+    ref_net = ref_mod.IconVSR(num_feat=8, num_block=1, keyframe_stride=3,
+                              temporal_padding=2)
+    sd = {k: v for k, v in ref_net.state_dict().items()
+          if not k.endswith(('spynet.mean', 'spynet.std'))}
+
+    from basicsr4rs_tpu.archs.basicvsr_arch import IconVSR
+    params = convert_torch_state_dict(sd, rules=IconVSR.TORCH_KEY_RULES)
+    net = IconVSR(num_feat=8, num_block=1, keyframe_stride=3, temporal_padding=2)
+    x = jnp.zeros((1, 5, 64, 64, 3), jnp.float32)
+    init_p = net.init(jax.random.PRNGKey(0), x)['params']
+    got, want = _flax_shapes(params), _flax_shapes(init_p)
+    missing = {k for k in want if k not in got}
+    assert all('dcnpack' in k or 'dcn_pack' in k for k in missing), sorted(missing)[:8]
+    covered = {k: v for k, v in want.items() if k in got}
+    assert got == covered, (sorted(set(got) - set(want))[:5],
+                            [k for k in got if got[k] != covered.get(k)][:5])
+
+
+def test_basicvsrpp_torch_key_conversion():
+    """BasicVSR++'s reference CPU build warns and SKIPS the deform_align
+    modules, so its state_dict must convert to exactly our tree minus the
+    prop_*/deform_align subtrees."""
+    import warnings
+    ref_mod = load_ref_module('basicsr/archs/basicvsrpp_arch.py')
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', UserWarning)  # its no-CUDA-DCN warning
+        ref_net = ref_mod.BasicVSRPlusPlus(mid_channels=8, num_blocks=1)
+    sd = {k: v for k, v in ref_net.state_dict().items()
+          if not k.endswith(('spynet.mean', 'spynet.std'))}
+
+    from basicsr4rs_tpu.archs.basicvsrpp_arch import BasicVSRPlusPlus
+    params = convert_torch_state_dict(sd, rules=BasicVSRPlusPlus.TORCH_KEY_RULES)
+    net = BasicVSRPlusPlus(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 3, 64, 64, 3), jnp.float32)
+    init_p = net.init(jax.random.PRNGKey(0), x)['params']
+    got, want = _flax_shapes(params), _flax_shapes(init_p)
+    missing = {k for k in want if k not in got}
+    assert all('/deform_align/' in k for k in missing), sorted(missing)[:8]
+    covered = {k: v for k, v in want.items() if k in got}
+    assert got == covered, (sorted(set(got) - set(want))[:5],
+                            [k for k in got if got[k] != covered.get(k)][:5])
+
+
 def test_duf_parity():
     import torch
     ref_mod = load_ref_module('basicsr/archs/duf_arch.py')
