@@ -87,8 +87,11 @@ class BasicVSR(nn.Module):
         spynet = SpyNet(dtype=self.dtype, name='spynet')
         x1 = x[:, :-1].reshape(-1, h, w, c)
         x2 = x[:, 1:].reshape(-1, h, w, c)
-        flows_backward = spynet(x1, x2).reshape(b, t - 1, h, w, 2)
-        flows_forward = spynet(x2, x1).reshape(b, t - 1, h, w, 2)
+        # both flow directions in ONE SpyNet body (2x batch)
+        flows = spynet(jnp.concatenate([x1, x2], axis=0),
+                       jnp.concatenate([x2, x1], axis=0))
+        flows_backward, flows_forward = (f.reshape(b, t - 1, h, w, 2)
+                                         for f in jnp.split(flows, 2, axis=0))
 
         zero_flow = jnp.zeros((b, 1, h, w, 2), x.dtype)
         init = jnp.zeros((b, h, w, self.num_feat), x.dtype)
@@ -223,8 +226,11 @@ class IconVSR(nn.Module):
         spynet = SpyNet(dtype=self.dtype, name='spynet')
         x1 = x[:, :-1].reshape(-1, h, w, c)
         x2 = x[:, 1:].reshape(-1, h, w, c)
-        flows_backward = spynet(x1, x2).reshape(b, n - 1, h, w, 2)
-        flows_forward = spynet(x2, x1).reshape(b, n - 1, h, w, 2)
+        # both flow directions in ONE SpyNet body (2x batch)
+        flows = spynet(jnp.concatenate([x1, x2], axis=0),
+                       jnp.concatenate([x2, x1], axis=0))
+        flows_backward, flows_forward = (f.reshape(b, n - 1, h, w, 2)
+                                         for f in jnp.split(flows, 2, axis=0))
 
         # keyframe features via EDVR (reference get_keyframe_feature :205-216)
         tp = self.temporal_padding

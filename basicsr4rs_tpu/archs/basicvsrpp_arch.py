@@ -156,8 +156,11 @@ class BasicVSRPlusPlus(nn.Module):
         spynet = SpyNet(dtype=self.dtype, name='spynet')
         l1 = lqs_downsample[:, :-1].reshape(-1, dh, dw, c)
         l2 = lqs_downsample[:, 1:].reshape(-1, dh, dw, c)
-        flows_backward = spynet(l1, l2).reshape(n, t - 1, dh, dw, 2)
-        flows_forward = spynet(l2, l1).reshape(n, t - 1, dh, dw, 2)
+        # both flow directions in ONE SpyNet body (2x batch)
+        flows = spynet(jnp.concatenate([l1, l2], axis=0),
+                       jnp.concatenate([l2, l1], axis=0))
+        flows_backward, flows_forward = (f.reshape(n, t - 1, dh, dw, 2)
+                                         for f in jnp.split(flows, 2, axis=0))
 
         # second-order propagation through 4 branches (reference :159-235),
         # each branch one lifted nn.scan over iteration order
