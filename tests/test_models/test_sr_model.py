@@ -99,6 +99,34 @@ def test_srmodel_test_and_ema(tmp_path):
     assert model.output.shape == (1, 32, 32, 3)
 
 
+def test_srmodel_selfensemble_matches_eight_forwards(tmp_path):
+    """The batched (2-dispatch) TTA must equal the reference's 8 separate
+    transformed forwards. Non-square input exercises the transposed group."""
+    import jax.numpy as jnp
+    opt = _make_opt(tmp_path)
+    model = build_model(opt)
+    rng = np.random.RandomState(3)
+    lq = rng.rand(2, 8, 12, 3).astype(np.float32)
+    model.feed_data({'lq': lq})
+    model.test_selfensemble()
+    got = np.asarray(model.output)
+    assert got.shape == (2, 32, 48, 3)
+
+    params = model._test_params()
+    x = jnp.asarray(lq)
+    outs = []
+    for i, v in enumerate([x, x[:, :, ::-1], x[:, ::-1], x[:, ::-1, ::-1]]):
+        y = model._eval_apply(params, v)
+        outs.append([y, y[:, :, ::-1], y[:, ::-1], y[:, ::-1, ::-1]][i])
+    t = jnp.transpose(x, (0, 2, 1, 3))
+    for i, v in enumerate([t, t[:, :, ::-1], t[:, ::-1], t[:, ::-1, ::-1]]):
+        y = model._eval_apply(params, v)
+        y = [y, y[:, :, ::-1], y[:, ::-1], y[:, ::-1, ::-1]][i]
+        outs.append(jnp.transpose(y, (0, 2, 1, 3)))
+    want = np.asarray(jnp.mean(jnp.stack(outs), axis=0))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
 def test_srmodel_save_resume(tmp_path):
     opt = _make_opt(tmp_path)
     model = build_model(opt)
