@@ -250,9 +250,9 @@ class IconVSR(nn.Module):
         # per-step keyframe metadata (frame order)
         kf_pos = [keyframe_idx.index(i) if i in keyframe_idx else 0 for i in range(n)]
         kf_idx = jnp.asarray(kf_pos, jnp.int32).reshape(1, n)
+        # (1, n, 1, 1, 1): per-step slices broadcast inside jnp.where
         is_kf = jnp.asarray([1. if i in keyframe_idx else 0. for i in range(n)],
-                            x.dtype).reshape(1, n, 1, 1, 1) * jnp.ones(
-                                (b, 1, 1, 1, 1), x.dtype)
+                            x.dtype).reshape(1, n, 1, 1, 1)
 
         zero_flow = jnp.zeros((b, 1, h, w, 2), x.dtype)
         init = jnp.zeros((b, h, w, self.num_feat), x.dtype)

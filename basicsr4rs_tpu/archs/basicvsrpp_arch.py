@@ -193,10 +193,10 @@ class BasicVSRPlusPlus(nn.Module):
                 flow_prev = flows[:, pv_idx]
             else:  # no flows exist; alignment is fully masked at i == 0
                 flow_n1 = flow_prev = jnp.zeros((n, 1, dh, dw, 2), lqs.dtype)
+            # (1, t, 1, 1, 1): per-step slices broadcast against (n,h,w,c)
             steps = jnp.arange(t).reshape(1, t, 1, 1, 1)
-            ones = jnp.ones((n, 1, 1, 1, 1), lqs.dtype)
-            m1 = (steps >= 1).astype(lqs.dtype) * ones
-            m2 = (steps >= 2).astype(lqs.dtype) * ones
+            m1 = (steps >= 1).astype(lqs.dtype)
+            m2 = (steps >= 2).astype(lqs.dtype)
 
             init = jnp.zeros((n, fh, fw, mc), lqs.dtype)
             Scan = nn.scan(_PPPropStep, variable_broadcast='params',

@@ -75,21 +75,36 @@ class TOFlow(nn.Module):
 
         spynet = SPyNetTOF(dtype=self.dtype, name='spynet')
         lr_ref = lrs[:, ref_idx]
-        # the reference runs SpyNet per support frame (tof_arch.py:79-90);
-        # fold the t-1 support frames into the batch axis: ONE flow body
-        supp_idx = [i for i in range(t) if i != ref_idx]
-        supp = lrs[:, jnp.asarray(supp_idx)].transpose(1, 0, 2, 3, 4)
-        supp = supp.reshape((t - 1) * b, h, w, c)
-        flow = spynet(jnp.tile(lr_ref, (t - 1, 1, 1, 1)), supp, train)
-        warped = flow_warp(supp, flow).reshape(t - 1, b, h, w, c)
-        aligned, j = [], 0
-        for i in range(t):
-            if i == ref_idx:
-                aligned.append(lr_ref)
-            else:
-                aligned.append(warped[j])
-                j += 1
-        hr = jnp.stack(aligned, axis=1)
+        if train:
+            # SpyNetTOF contains BatchNorm: under training, batch statistics
+            # (and running-stat updates) must come from the reference's
+            # per-support-frame batches — keep the per-frame calls.
+            aligned = []
+            for i in range(t):
+                if i == ref_idx:
+                    aligned.append(lr_ref)
+                else:
+                    lr_supp = lrs[:, i]
+                    flow = spynet(lr_ref, lr_supp, train)
+                    aligned.append(flow_warp(lr_supp, flow))
+            hr = jnp.stack(aligned, axis=1)
+        else:
+            # eval (running-average BN is per-sample): fold the t-1 support
+            # frames into the batch axis — ONE flow body instead of t-1
+            # (reference loops per frame, tof_arch.py:79-90)
+            supp_idx = [i for i in range(t) if i != ref_idx]
+            supp = lrs[:, jnp.asarray(supp_idx)].transpose(1, 0, 2, 3, 4)
+            supp = supp.reshape((t - 1) * b, h, w, c)
+            flow = spynet(jnp.tile(lr_ref, (t - 1, 1, 1, 1)), supp, train)
+            warped = flow_warp(supp, flow).reshape(t - 1, b, h, w, c)
+            aligned, j = [], 0
+            for i in range(t):
+                if i == ref_idx:
+                    aligned.append(lr_ref)
+                else:
+                    aligned.append(warped[j])
+                    j += 1
+            hr = jnp.stack(aligned, axis=1)
         # torch flattens (t, c) channel-major — keep that order for conversion
         hr = hr.transpose(0, 2, 3, 1, 4).reshape(b, h, w, t * c)
         hr = nn.relu(nn.Conv(64, (9, 9), dtype=self.dtype, name='conv_1')(hr))

@@ -268,20 +268,26 @@ class SRModel(BaseModel):
 
         The reference runs 8 forwards; the 4 flip variants share a shape and
         so do the 4 transposed ones — two batched forwards (4x batch each)
-        instead of 8 dispatches, per-sample numerics identical."""
+        instead of 8 dispatches, per-sample numerics identical. The batched
+        form peaks at 4x eval activation memory; huge tiles can set
+        ``val.selfensemble_batched: false`` to recover the reference's
+        one-transform-at-a-time loop."""
         lq = self.batch['lq']
         params = self._test_params()
 
         def flips(x):
             return [x, x[:, :, ::-1, :], x[:, ::-1, :, :], x[:, ::-1, ::-1, :]]
 
-        y = self._eval_apply(params, jnp.concatenate(flips(lq), axis=0))
-        outs = [inv for inv in flips_inverse(jnp.split(y, 4, axis=0))]
-
+        batched = (self.opt.get('val') or {}).get('selfensemble_batched', True)
         t = jnp.transpose(lq, (0, 2, 1, 3))  # transpose H<->W
-        yt = self._eval_apply(params, jnp.concatenate(flips(t), axis=0))
-        outs += [jnp.transpose(inv, (0, 2, 1, 3))
-                 for inv in flips_inverse(jnp.split(yt, 4, axis=0))]
+        if batched:
+            y = jnp.split(self._eval_apply(params, jnp.concatenate(flips(lq), axis=0)), 4, axis=0)
+            yt = jnp.split(self._eval_apply(params, jnp.concatenate(flips(t), axis=0)), 4, axis=0)
+        else:
+            y = [self._eval_apply(params, v) for v in flips(lq)]
+            yt = [self._eval_apply(params, v) for v in flips(t)]
+        outs = flips_inverse(y)
+        outs += [jnp.transpose(inv, (0, 2, 1, 3)) for inv in flips_inverse(yt)]
         self.output = jnp.mean(jnp.stack(outs), axis=0)
 
     def get_current_visuals(self):

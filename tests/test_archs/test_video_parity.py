@@ -157,6 +157,28 @@ def test_iconvsr_torch_key_conversion():
                             [k for k in got if got[k] != covered.get(k)][:5])
 
 
+def test_iconvsr_scan_golden():
+    """Regression anchor for the scan-lifted IconVSR propagation. The scan
+    form matched the deleted unrolled implementation to 2.4e-7 when it
+    landed; these goldens (same seeds, current impl) guard the scan's flow
+    padding, keyframe index mapping, masked refill and reverse-output
+    ordering — bugs there shift outputs by orders of magnitude more than
+    the tolerance."""
+    from basicsr4rs_tpu.archs.basicvsr_arch import IconVSR
+    net = IconVSR(num_feat=8, num_block=1, keyframe_stride=3, temporal_padding=2)
+    x = np.random.RandomState(0).rand(2, 7, 64, 64, 3).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))['params']
+    out = np.asarray(net.apply({'params': params}, jnp.asarray(x)))
+    assert out.shape == (2, 7, 256, 256, 3)
+    np.testing.assert_allclose(float(out.mean()), 0.551104724407196, atol=2e-5)
+    np.testing.assert_allclose(
+        out[1, 3, 100:103, 200:203, 1],
+        np.array([[0.49499154, 0.58380121, 0.59459311],
+                  [0.50894070, 0.50559217, 0.56236583],
+                  [0.35540402, 0.47099897, 0.47785401]], np.float32),
+        atol=1e-4)
+
+
 def test_basicvsrpp_torch_key_conversion():
     """BasicVSR++'s reference CPU build warns and SKIPS the deform_align
     modules, so its state_dict must convert to exactly our tree minus the

@@ -10,6 +10,8 @@ under SPMD each get a model-level exactness test (VERDICT r2 #5):
 * BasicVSR — ``lax.scan``-over-time recurrence under data sharding.
 """
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,7 +69,7 @@ def _mesh_vs_single(net, params, x, mesh, xspec, fused=False, grads=False, tol=1
         out = net.apply({'params': p}, v)
         return jnp.sum(out * jnp.cos(out)), out
 
-    ctx = dispatch.force_interpret() if fused else _nullcontext()
+    ctx = dispatch.force_interpret() if fused else contextlib.nullcontext()
     with ctx:
         fn = jax.value_and_grad(loss, has_aux=True) if grads else loss
         (l1, out1), g1 = _call(jax.jit(fn), params, x, grads)
@@ -98,14 +100,6 @@ def _call(fn, p, v, grads):
         return (l, out), g
     l, out = fn(p, v)
     return (l, out), None
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 @pytest.mark.parametrize('data,spatial', [(8, 1), (4, 2)])
