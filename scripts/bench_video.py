@@ -33,6 +33,13 @@ def _make_model(kind, frames=5):
                'num_reconstruct_block: 10, center_frame_idx: ~, hr_in: false, '
                'with_predeblur: false, with_tsa: false}')
         model_type, extra = 'EDVRModel', 'dcn_lr_mul: 1'
+    elif kind == 'iconvsr':
+        # train_IconVSR network (scan-lifted keyframe-refill propagation +
+        # one batched EDVR keyframe extractor body)
+        net = ('{type: IconVSR, num_feat: 64, num_block: 15, '
+               'keyframe_stride: 5, temporal_padding: 2, '
+               'spynet_path: ~, edvr_path: ~}')
+        model_type, extra = 'VideoRecurrentModel', 'fix_flow: 0\n  flow_lr_mul: 0.125'
     elif kind == 'basicvsrpp':
         # train_BasicVSRPP network (flow-guided second-order deformable
         # alignment = 4 DCN sites per frame step)
@@ -101,7 +108,7 @@ def bench(kind, batch, frames, lr_size, iters):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--model', default='both',
-                   choices=['edvr', 'basicvsr', 'basicvsrpp', 'both'])
+                   choices=['edvr', 'basicvsr', 'iconvsr', 'basicvsrpp', 'both'])
     p.add_argument('--batch', type=int, default=4)
     p.add_argument('--frames', type=int, default=5)
     p.add_argument('--lr-size', type=int, default=64)
