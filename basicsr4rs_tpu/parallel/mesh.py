@@ -47,11 +47,17 @@ def create_mesh(opt: Optional[Dict[str, Any]] = None,
     return Mesh(dev_array, axis_names=('data', 'spatial'))
 
 
-def batch_spec(mesh: Mesh, spatial_sharded: bool = False) -> P:
-    """PartitionSpec for an NHWC batch: shard N over 'data' (and optionally
-    H over 'spatial')."""
-    if spatial_sharded and mesh.shape.get('spatial', 1) > 1:
-        return P('data', 'spatial')
+def batch_spec(mesh: Mesh, spatial_sharded: bool = False, ndim: int = 4) -> P:
+    """PartitionSpec for an image/video batch: shard N over 'data' and
+    optionally the H axis over 'spatial'. H is located per rank — axis 1
+    for NHWC images, axis 2 for (B,T,H,W,C) video — so spatial sharding
+    never lands on the time axis (a recurrent scan over a sharded time
+    axis would force XLA to gather the whole clip)."""
+    if spatial_sharded and mesh.shape.get('spatial', 1) > 1 and ndim >= 4:
+        parts = [None] * (ndim - 2)  # trailing (W, C) stay unsharded
+        parts[0] = 'data'
+        parts[ndim - 3] = 'spatial'
+        return P(*parts)
     return P('data')
 
 
@@ -71,8 +77,6 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, spatial_sharded: bool = False
     arrays: rank-disjoint validation work must NOT become a lockstep global
     computation (reference analog: each rank evaluates on its own GPU,
     video_base_model.py:46-111)."""
-    spec = batch_spec(mesh, spatial_sharded)
-    sharded = NamedSharding(mesh, spec)
     replicated = NamedSharding(mesh, P())
     data_size = mesh.shape.get('data', 1)
     nproc = jax.process_count()
@@ -81,6 +85,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, spatial_sharded: bool = False
         if isinstance(v, jax.Array):
             return v  # already on device (device prefetcher path)
         if isinstance(v, np.ndarray) and v.ndim >= 1:
+            sharded = NamedSharding(mesh, batch_spec(mesh, spatial_sharded, v.ndim))
             if nproc > 1:
                 local_rows = data_size // nproc
                 if (data_size % nproc == 0 and local_rows > 0

@@ -62,6 +62,21 @@ def test_mesh_validation():
         create_mesh({'parallel': {'data': 3, 'spatial': 2}})  # 6 != 8
 
 
+def test_video_batch_spatial_spec_lands_on_h():
+    """Spatial sharding must hit the H axis per leaf rank — (B,T,H,W,C)
+    video shards axis 2, never the time axis (a recurrent scan over a
+    sharded time axis would gather whole clips)."""
+    from jax.sharding import PartitionSpec as P
+    mesh = create_mesh({'parallel': {'data': 2, 'spatial': 4}})
+    assert batch_spec(mesh, True, ndim=4) == P('data', 'spatial')
+    assert batch_spec(mesh, True, ndim=5) == P('data', None, 'spatial')
+    batch = {'lq': np.zeros((2, 3, 32, 16, 3), np.float32),   # video 5D
+             'gt': np.zeros((2, 64, 64, 3), np.float32)}      # image 4D
+    out = shard_batch(batch, mesh, spatial_sharded=True)
+    assert out['lq'].sharding.spec == P('data', None, 'spatial')
+    assert out['gt'].sharding.spec == P('data', 'spatial')
+
+
 def _mesh_vs_single(net, params, x, mesh, xspec, fused=False, grads=False, tol=1e-5):
     """Forward (and optionally param grads) on the mesh vs one device.
     Fresh jax.jit objects per trace: the kernel_mesh scope is trace-time."""
