@@ -157,6 +157,48 @@ def test_basicvsr_mesh_exactness():
     _mesh_vs_single(net, params, x, mesh, P('data'))
 
 
+def test_basicvsr_spatial_mesh_exactness():
+    """BasicVSR on the 2D data x spatial mesh: flow_warp's gathers and the
+    temporal scan under H-sharding must still match single-device (XLA's
+    partitioner may pay gathers for the warp — correctness is what this
+    pins; video production meshes should prefer data-only)."""
+    from basicsr4rs_tpu.archs import build_network
+    net = build_network({'type': 'BasicVSR', 'num_feat': 8, 'num_block': 1})
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 3, 64, 64, 3).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)['params']
+    mesh = create_mesh({'parallel': {'data': 2, 'spatial': 4}})
+    _mesh_vs_single(net, params, x, mesh, P('data', None, 'spatial'))
+
+
+def test_diffusion_unet_mesh_exactness():
+    """ResShift's UNetModelSwin (timestep embedding + swin attention stages)
+    under the data mesh."""
+    from basicsr4rs_tpu.archs.unet_arch import UNetModelSwin
+    net = UNetModelSwin(image_size=16, in_channels=3, model_channels=32,
+                        out_channels=3, num_res_blocks=1,
+                        attention_resolutions=[8], channel_mult=[1, 2],
+                        num_heads=4, swin_embed_dim=32, window_size=4,
+                        cond_lq=True, lq_size=16)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(8, 16, 16, 3).astype(np.float32))
+    t = jnp.asarray(np.arange(8, dtype=np.int64) % 4)
+    lq = jnp.asarray(rng.randn(8, 16, 16, 3).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x, t, lq=lq)['params']
+    mesh = create_mesh({'parallel': {'data': 8, 'spatial': 1}})
+
+    def fwd(p, v, tt, ll):
+        return net.apply({'params': p}, v, tt, lq=ll)
+
+    want = np.asarray(jax.jit(fwd)(params, x, t, lq))
+    ps = replicate(params, mesh)
+    vs = jax.device_put(x, NamedSharding(mesh, P('data')))
+    ts = jax.device_put(t, NamedSharding(mesh, P('data')))
+    ls = jax.device_put(lq, NamedSharding(mesh, P('data')))
+    with dispatch.kernel_mesh(mesh):
+        got = np.asarray(jax.jit(fwd)(ps, vs, ts, ls))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_basicvsrpp_mesh_exactness():
     """BasicVSR++: second-order scan propagation + flow-guided DCN alignment
     under data sharding.
