@@ -199,6 +199,32 @@ def test_diffusion_unet_mesh_exactness():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_stylegan2_mesh_exactness():
+    """StyleGAN2's modulated conv folds the batch into the weight/channel
+    axes (batch_group_count trick) — the one formulation in the repo where
+    'shard over data' isn't trivially per-sample. SPMD must still match
+    single-device."""
+    from basicsr4rs_tpu.archs import build_network
+    net = build_network({'type': 'StyleGAN2Generator', 'out_size': 32,
+                         'num_style_feat': 16, 'num_mlp': 2,
+                         'channel_multiplier': 1})
+    z = jnp.asarray(np.random.RandomState(6).randn(8, 16).astype(np.float32))
+    params = net.init({'params': jax.random.PRNGKey(0),
+                       'noise': jax.random.PRNGKey(1)}, [z])['params']
+
+    def fwd(p, v):
+        out, _ = net.apply({'params': p}, [v], rngs={'noise': jax.random.PRNGKey(7)})
+        return out
+
+    want = np.asarray(jax.jit(fwd)(params, z))
+    mesh = create_mesh({'parallel': {'data': 8, 'spatial': 1}})
+    zs = jax.device_put(z, NamedSharding(mesh, P('data')))
+    ps = replicate(params, mesh)
+    with dispatch.kernel_mesh(mesh):
+        got = np.asarray(jax.jit(fwd)(ps, zs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_basicvsrpp_mesh_exactness():
     """BasicVSR++: second-order scan propagation + flow-guided DCN alignment
     under data sharding.
