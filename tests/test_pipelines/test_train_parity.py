@@ -115,6 +115,73 @@ def _flatten(tree, prefix=()):
         yield '/'.join(prefix), tree
 
 
+def test_swinir_sgd_trajectory_matches_torch():
+    """Same proof for the transformer flagship: LayerNorm/attention/MLP
+    gradients and the SwinIRModel lifecycle must reproduce the reference's
+    SGD loss curve (reference swinir_arch.py + sr_model.py:91-129)."""
+    import torch
+
+    ref_mod = load_ref_module('basicsr/archs/swinir_arch.py')
+    torch.manual_seed(0)
+    kwargs = dict(img_size=8, patch_size=1, in_chans=3, embed_dim=8,
+                  depths=[2], num_heads=[2], window_size=4, mlp_ratio=2.,
+                  upscale=2, img_range=1., upsampler='pixelshuffledirect',
+                  resi_connection='1conv', drop_path_rate=0.)
+    net_t = ref_mod.SwinIR(**kwargs).train()
+
+    from basicsr4rs_tpu.archs.swinir_arch import SwinIR
+    rules = SwinIR(**{**kwargs, 'depths': (2,), 'num_heads': (2,)}).torch_key_rules
+    params = convert_torch_state_dict(net_t.state_dict(), rules=rules)
+
+    opt = yaml_load(f"""
+name: parity_swinir
+model_type: SwinIRModel
+scale: 2
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+network_g: {{type: SwinIR, img_size: 8, patch_size: 1, in_chans: 3, embed_dim: 8,
+             depths: [2], num_heads: [2], window_size: 4, mlp_ratio: 2,
+             upscale: 2, img_range: 1.0, upsampler: pixelshuffledirect,
+             resi_connection: 1conv, drop_path_rate: 0.0}}
+path: {{pretrain_network_g: ~}}
+train:
+  ema_decay: 0
+  optim_g: {{type: SGD, lr: !!float {LR}}}
+  scheduler: {{type: ConstantLR}}
+  total_iter: 1000
+  pixel_opt: {{type: L1Loss, loss_weight: 1.0, reduction: mean}}
+val: {{val_freq: 1000}}
+""")
+    model = build_model(opt)
+    model.params = params
+    model.setup_optimizers()
+
+    opt_t = torch.optim.SGD(net_t.parameters(), lr=LR)
+    crit = torch.nn.L1Loss()
+
+    losses_j, losses_t = [], []
+    for lq, gt in _batches(N_STEPS, batch=2, lr_size=8, scale=2, seed=11):
+        model.feed_data({'lq': lq, 'gt': gt})
+        model.optimize_parameters(1)
+        losses_j.append(float(model.get_current_log()['l_pix']))
+
+        lq_t = torch.from_numpy(np.ascontiguousarray(lq.transpose(0, 3, 1, 2)))
+        gt_t = torch.from_numpy(np.ascontiguousarray(gt.transpose(0, 3, 1, 2)))
+        opt_t.zero_grad()
+        loss_t = crit(net_t(lq_t), gt_t)
+        loss_t.backward()
+        opt_t.step()
+        losses_t.append(float(loss_t.detach()))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-4, atol=5e-5,
+                               err_msg='SwinIR SGD loss trajectories diverged')
+    assert abs(losses_t[0] - losses_t[-1]) > 1e-4
+
+
 def test_srgan_gd_cycle_matches_torch():
     """Two full G/D cycles of SRGAN: G gets pixel + GAN loss with D frozen,
     then D trains on real and detached-fake (reference srgan_model.py:85-141
