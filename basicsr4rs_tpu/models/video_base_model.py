@@ -195,8 +195,10 @@ class EDVRModel(VideoBaseModel):
             is_tsa = any(n == 'fusion' for n in names)
             u = u * (self.dcn_lr_mul if is_dcn else 1.0)
             if self.tsa_iter:
-                # during warm-up, only TSA fusion trains (reference edvr_model.py:30-52)
-                u = jnp.where(jnp.logical_or(step >= self.tsa_iter, is_tsa), u, 0.)
+                # during warm-up, only TSA fusion trains; all params train AT
+                # current_iter == tsa_iter = step + 1 (reference
+                # edvr_model.py:30-52)
+                u = jnp.where(jnp.logical_or(step + 1 >= self.tsa_iter, is_tsa), u, 0.)
             return u
 
         return jax.tree_util.tree_map_with_path(scale, updates)

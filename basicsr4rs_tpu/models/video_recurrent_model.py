@@ -35,14 +35,19 @@ class VideoRecurrentModel(VideoBaseModel):
         return jnp.zeros((1, 2, 64, 64, num_in_ch), jnp.float32)
 
     def _postprocess_updates(self, updates, params, step):
+        # reference semantics (video_recurrent_model.py:24-46,52-61):
+        # lr multiplier applies to 'spynet' params ONLY; the warm-up freeze
+        # covers 'spynet' and 'edvr' (IconVSR's keyframe extractor).
         def scale(path, u):
             names = [getattr(p, 'key', str(p)) for p in path]
-            is_flow = any('spynet' in n or 'deform' in n for n in names)
-            if not is_flow:
-                return u
-            u = u * self.flow_lr_mul
-            if self.fix_flow_iter:
-                u = jnp.where(step >= self.fix_flow_iter, u, 0.)
+            is_flow = any('spynet' in n for n in names)
+            is_fixed = is_flow or any('edvr' in n for n in names)
+            if is_flow and self.flow_lr_mul != 1.0:
+                u = u * self.flow_lr_mul
+            if self.fix_flow_iter and is_fixed:
+                # state.step is pre-increment: current_iter = step + 1; the
+                # reference unfreezes AT current_iter == fix_flow_iter (:60)
+                u = jnp.where(step + 1 >= self.fix_flow_iter, u, 0.)
             return u
 
         return jax.tree_util.tree_map_with_path(scale, updates)

@@ -182,6 +182,89 @@ val: {{val_freq: 1000}}
     assert abs(losses_t[0] - losses_t[-1]) > 1e-4
 
 
+def test_video_recurrent_fix_flow_trajectory_matches_torch():
+    """Pins VideoRecurrentModel's optimizer semantics against the reference
+    (video_recurrent_model.py:22-64): the spynet lr multiplier (param
+    groups) and the fix_flow warm-up freeze (requires_grad toggling) are
+    update masks here — the SGD loss curve must match through the freeze
+    boundary."""
+    import torch
+
+    FIX, MUL, STEPS = 4, 0.125, 12
+    ref_mod = load_ref_module('basicsr/archs/basicvsr_arch.py')
+    torch.manual_seed(0)
+    net_t = ref_mod.BasicVSR(num_feat=8, num_block=1).train()
+    sd = {k: v for k, v in net_t.state_dict().items()
+          if not k.endswith(('spynet.mean', 'spynet.std'))}
+    params = convert_torch_state_dict(sd)
+
+    opt = yaml_load(f"""
+name: parity_video
+model_type: VideoRecurrentModel
+scale: 4
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+network_g: {{type: BasicVSR, num_feat: 8, num_block: 1, spynet_path: ~}}
+path: {{pretrain_network_g: ~}}
+train:
+  ema_decay: 0
+  fix_flow: {FIX}
+  flow_lr_mul: {MUL}
+  optim_g: {{type: SGD, lr: !!float {LR}}}
+  scheduler: {{type: ConstantLR}}
+  total_iter: 1000
+  pixel_opt: {{type: L1Loss, loss_weight: 1.0, reduction: mean}}
+val: {{val_freq: 1000}}
+""")
+    model = build_model(opt)
+    model.params = params
+    model.setup_optimizers()
+
+    # reference param groups: normal at lr, spynet at lr*mul (:28-46)
+    normal_p = [p for n, p in net_t.named_parameters() if 'spynet' not in n]
+    flow_p = [p for n, p in net_t.named_parameters() if 'spynet' in n]
+    opt_t = torch.optim.SGD([{'params': normal_p, 'lr': LR},
+                             {'params': flow_p, 'lr': LR * MUL}])
+    crit = torch.nn.L1Loss()
+
+    rng = np.random.RandomState(13)
+    losses_j, losses_t = [], []
+    for it in range(1, STEPS + 1):
+        lq = rng.rand(1, 2, 64, 64, 3).astype(np.float32)
+        gt = rng.rand(1, 2, 256, 256, 3).astype(np.float32)
+        model.feed_data({'lq': lq, 'gt': gt})
+        model.optimize_parameters(it)
+        losses_j.append(float(model.get_current_log()['l_pix']))
+
+        # reference freeze toggling (:52-61)
+        if it == 1:
+            for n, p in net_t.named_parameters():
+                if 'spynet' in n or 'edvr' in n:
+                    p.requires_grad_(False)
+        elif it == FIX:
+            net_t.requires_grad_(True)
+        lq_t = torch.from_numpy(np.ascontiguousarray(lq.transpose(0, 1, 4, 2, 3)))
+        gt_t = torch.from_numpy(np.ascontiguousarray(gt.transpose(0, 1, 4, 2, 3)))
+        opt_t.zero_grad()
+        loss_t = crit(net_t(lq_t), gt_t)
+        loss_t.backward()
+        opt_t.step()
+        losses_t.append(float(loss_t.detach()))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-4, atol=5e-5,
+                               err_msg='fix_flow/flow_lr_mul trajectories diverged')
+    # the freeze boundary actually bit: spynet params moved after iter FIX
+    import jax
+    deltas = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+              for a, b in zip(jax.tree_util.tree_leaves(model.state.params['spynet']),
+                              jax.tree_util.tree_leaves(params['spynet']))]
+    assert max(deltas) > 0, 'spynet never unfroze'
+
+
 def test_srgan_gd_cycle_matches_torch():
     """Two full G/D cycles of SRGAN: G gets pixel + GAN loss with D frozen,
     then D trains on real and detached-fake (reference srgan_model.py:85-141
