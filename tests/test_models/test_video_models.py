@@ -186,6 +186,12 @@ val:
     tsa1 = np.asarray(model.state.params['fusion']['temporal_attn1']['kernel'])
     np.testing.assert_array_equal(first0, first1)  # frozen during TSA warmup
     assert not np.allclose(tsa0, tsa1)             # TSA trains
+    # unfreeze boundary: all params train AT current_iter == tsa_iter
+    # (reference edvr_model.py:49-52)
+    model.feed_data({'lq': lq, 'gt': gt})
+    model.optimize_parameters(2)
+    first2 = np.asarray(model.state.params['conv_first']['kernel'])
+    assert not np.allclose(first1, first2)
 
 
 def test_edvr_dcn_offset_diagnostic():
