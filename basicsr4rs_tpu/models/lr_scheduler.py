@@ -70,9 +70,12 @@ def cosine_annealing_restart_lr(base_lr: float,
             w = restart_weights[i]
             t = jnp.clip(step - start, 0, period)
             lrs.append(eta_min + 0.5 * (base_lr * w - eta_min) * (1 + jnp.cos(jnp.pi * t / period)))
-        # select the active period
+        # select the active period; the reference's get_position_from_periods
+        # is INCLUSIVE (iteration <= cumulative, lr_scheduler.py:36-54): the
+        # boundary step itself still evaluates the ending period at t=period
+        # (= eta_min), and the restart top appears one step later
         boundaries = jnp.asarray(cumulative, dtype=jnp.float32)
-        idx = jnp.sum(step >= boundaries)  # 0..len-1 (clamp into range)
+        idx = jnp.sum(step > boundaries)  # 0..len-1 (clamp into range)
         idx = jnp.minimum(idx, len(periods) - 1)
         return jnp.stack(lrs)[idx]
 
@@ -84,15 +87,20 @@ def constant_lr(base_lr: float) -> Callable:
 
 
 def with_linear_warmup(schedule: Callable, warmup_iter: int = -1) -> Callable:
-    """Linear warm-up from 0 over ``warmup_iter`` steps (reference
-    base_model.py:185-206 applies init_lr * step/warmup)."""
+    """Linear warm-up (reference base_model.py:185-206): while
+    ``current_iter < warmup_iter`` the lr is ``init_lr * current_iter /
+    warmup_iter`` — the INITIAL lr scaled (not the scheduled one), and
+    nonzero from the first iteration. ``step`` here is pre-increment
+    (current_iter - 1)."""
     if warmup_iter <= 0:
         return schedule
 
+    init_lr = float(schedule(0))
+
     def warmed(step):
-        step_f = jnp.asarray(step, dtype=jnp.float32)
-        lr = schedule(step)
-        return jnp.where(step_f < warmup_iter, lr * step_f / warmup_iter, lr)
+        cur = jnp.asarray(step, dtype=jnp.float32) + 1.
+        return jnp.where(cur < warmup_iter, init_lr * cur / warmup_iter,
+                         schedule(step))
 
     return warmed
 
