@@ -56,7 +56,11 @@ def build_optimizer(optim_opt: dict, schedule: Callable) -> optax.GradientTransf
 
     if optim_type == 'Adam':
         if weight_decay:
-            tx = optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+            # torch Adam's weight_decay is L2-IN-GRADIENT (added before the
+            # moment estimates), not AdamW's decoupled decay — compose the
+            # decay ahead of the Adam transform to match
+            tx = optax.chain(optax.add_decayed_weights(weight_decay),
+                             optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps))
         else:
             tx = optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
     elif optim_type == 'AdamW':
