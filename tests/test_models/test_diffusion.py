@@ -27,6 +27,25 @@ def test_eta_schedule():
     assert s[-1] == pytest.approx(0.99, rel=1e-6)  # sqrt_eta endpoint = etas_end
 
 
+def test_eta_schedule_matches_reference_bitexact():
+    """Numeric parity with the reference's schedule arithmetic
+    (gaussian_diffusion.py:10-70) — bit-exact, both are float64 numpy."""
+    import importlib.util
+    import sys
+    import types
+    sys.modules.setdefault('basicsr', types.ModuleType('basicsr'))
+    spec = importlib.util.spec_from_file_location(
+        'ref_gd', '/root/reference/basicsr/utils/gaussian_diffusion.py')
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+    for steps, kappa, power in [(15, 2.0, 0.3), (4, 1.0, 1.0), (1000, 2.0, 0.3)]:
+        want = ref_mod.get_named_eta_schedule(
+            'exponential', steps, 0.04, kappa=kappa, kwargs={'power': power})
+        got = get_named_eta_schedule(
+            'exponential', steps, 0.04, kappa=kappa, kwargs={'power': power})
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_q_sample_endpoints():
     """At t=T-1 eta ~ etas_end: x_t ~ y; at t=0 eta small: x_t ~ x_0."""
     d = _diffusion(steps=8)
