@@ -52,27 +52,37 @@ def weighted_loss(loss_func):
 
 
 def get_refined_artifact_map(img_gt, img_output, img_ema, ksize: int = 7):
-    """LDL locally-discriminative artifact map (reference loss_util.py:121-145):
-    local std (ksize window) of the residual, scaled by patch-level error
-    ratio between the live output and the EMA output. NHWC."""
+    """LDL locally-discriminative artifact map (reference loss_util.py:99-145):
+    per-pixel UNBIASED variance of the |residual| in a reflect-padded ksize
+    window, scaled by (unbiased whole-image residual variance)^(1/5);
+    zeroed where the live output already beats the EMA output. NHWC."""
     import jax
 
-    def local_std(residual):
-        # residual: (N, H, W, 1); uniform window variance.
-        k = jnp.ones((ksize, ksize, 1, 1), residual.dtype) / (ksize * ksize)
+    pad = (ksize - 1) // 2
+    n = ksize * ksize
+
+    def local_var(residual):
+        # reference get_local_weights (:99-118): reflect pad + unfold +
+        # torch.var(unbiased=True) over each window
+        rp = jnp.pad(residual, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     mode='reflect')
+        k = jnp.ones((ksize, ksize, 1, 1), residual.dtype)
 
         def conv(v):
-            return jax.lax.conv_general_dilated(v, k, (1, 1), 'SAME',
+            return jax.lax.conv_general_dilated(v, k, (1, 1), 'VALID',
                                                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        mu = conv(residual)
-        var = conv(residual**2) - mu**2
-        return jnp.sqrt(jnp.clip(var, 0))
+        s1 = conv(rp)
+        s2 = conv(rp ** 2)
+        return (s2 - s1 ** 2 / n) / (n - 1)
 
     residual_ema = jnp.sum(jnp.abs(img_gt - img_ema), axis=3, keepdims=True)
     residual_sr = jnp.sum(jnp.abs(img_gt - img_output), axis=3, keepdims=True)
-    patch_level_weight = jnp.mean((residual_sr / (residual_ema + 1e-8))**5,
-                                  axis=(1, 2, 3), keepdims=True) ** (1 / 5)
-    pixel_level_weight = local_std(residual_sr)
+    # torch.var over (C,H,W) per sample, unbiased (reference :140)
+    mu = jnp.mean(residual_sr, axis=(1, 2, 3), keepdims=True)
+    cnt = residual_sr.shape[1] * residual_sr.shape[2] * residual_sr.shape[3]
+    patch_var = jnp.sum((residual_sr - mu) ** 2, axis=(1, 2, 3),
+                        keepdims=True) / (cnt - 1)
+    patch_level_weight = patch_var ** (1 / 5)
+    pixel_level_weight = local_var(residual_sr)
     overall_weight = patch_level_weight * pixel_level_weight
-    overall_weight = jnp.where(residual_sr < residual_ema, 0.0, overall_weight)
-    return overall_weight
+    return jnp.where(residual_sr < residual_ema, 0.0, overall_weight)

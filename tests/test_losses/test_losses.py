@@ -97,3 +97,29 @@ def test_ldl_artifact_map():
     m = get_refined_artifact_map(gt, out, ema, ksize=7)
     assert m.shape == (2, 16, 16, 1)
     assert float(jnp.min(m)) >= 0
+
+
+def test_ldl_artifact_map_matches_torch_reference():
+    """Numeric parity with the reference map (loss_util.py:99-145):
+    unbiased reflect-padded window variance x (image variance)^(1/5)."""
+    import importlib.util
+    import sys
+    import types
+    import torch
+    sys.modules.setdefault('basicsr', types.ModuleType('basicsr'))
+    spec = importlib.util.spec_from_file_location(
+        'ref_loss_util', '/root/reference/basicsr/losses/loss_util.py')
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from basicsr4rs_tpu.losses.loss_util import get_refined_artifact_map
+    rng = np.random.RandomState(1)
+    gt = rng.rand(2, 3, 16, 16).astype(np.float32)
+    out = rng.rand(2, 3, 16, 16).astype(np.float32)
+    ema = rng.rand(2, 3, 16, 16).astype(np.float32)
+    want = ref.get_refined_artifact_map(torch.from_numpy(gt), torch.from_numpy(out),
+                                        torch.from_numpy(ema), 7).numpy()
+    got = np.asarray(get_refined_artifact_map(
+        jnp.asarray(gt.transpose(0, 2, 3, 1)), jnp.asarray(out.transpose(0, 2, 3, 1)),
+        jnp.asarray(ema.transpose(0, 2, 3, 1)), ksize=7)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
