@@ -106,7 +106,10 @@ def gradient_penalty_loss(d_fn, real_data, fake_data, rng, weight=None):
     grad = jax.grad(scalar_d)(interpolates)
     if weight is not None:
         grad = grad * weight
-    loss = jnp.mean((jnp.linalg.norm(grad.reshape(grad.shape[0], -1), axis=1) - 1)**2)
+    # the reference norms over the CHANNEL dim only (gan_loss.py:203:
+    # gradients.norm(2, dim=1) on NCHW) — a per-pixel channel norm, not the
+    # flattened per-sample norm of the original WGAN-GP paper
+    loss = jnp.mean((jnp.sqrt(jnp.sum(grad**2, axis=3) + 1e-12) - 1)**2)
     if weight is not None:
         loss = loss / jnp.mean(weight)
     return loss
