@@ -32,6 +32,27 @@ def _load_ref_gan_loss():
     return mod
 
 
+def test_gan_loss_all_types_match_torch():
+    """Every gan_type x target x is_disc combination equals the reference
+    (gan_loss.py:11-113), incl. the loss_weight-only-for-G rule."""
+    import torch
+    ref_mod = _load_ref_gan_loss()
+    from basicsr4rs_tpu.losses.gan_loss import GANLoss
+    rng = np.random.RandomState(0)
+    x = (rng.randn(4, 6, 6, 1) * 2).astype(np.float32)
+    xt = torch.from_numpy(x)
+    for t in ['vanilla', 'lsgan', 'wgan', 'wgan_softplus', 'hinge']:
+        ref = ref_mod.GANLoss(t, loss_weight=0.7)
+        ours = GANLoss(t, loss_weight=0.7)
+        for target in (True, False):
+            for is_disc in (True, False):
+                want = float(ref(xt, target, is_disc=is_disc).detach())
+                got = float(ours(jnp.asarray(x), target, is_disc=is_disc))
+                np.testing.assert_allclose(
+                    got, want, rtol=1e-5, atol=1e-6,
+                    err_msg=f'{t} target={target} is_disc={is_disc}')
+
+
 def test_r1_penalty_parity():
     import torch
     ref = _load_ref_gan_loss()
