@@ -33,6 +33,31 @@ def test_sep_filter2d_equals_dense_gaussian():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_usm_sharp_matches_torch_reference():
+    """Numeric parity with the reference sharpeners (img_process_util.py:7-80):
+    threshold mask, Gaussian blur, soft-mask blend."""
+    import sys
+    from os import path as osp
+    sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
+    import torch
+    from ref_loader import load_ref_module
+    ref = load_ref_module('basicsr/utils/img_process_util.py')
+    from basicsr4rs_tpu.utils.img_process_util import USMSharp, usm_sharp
+    rng = np.random.RandomState(0)
+
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    want = ref.usm_sharp(img.copy(), weight=0.5, radius=51, threshold=10)
+    got = np.asarray(usm_sharp(jnp.asarray(img)[None], weight=0.5, radius=51,
+                               threshold=10))[0]
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    x = rng.rand(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want_b = ref.USMSharp()(torch.from_numpy(x)).numpy()
+    got_b = np.asarray(USMSharp()(jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got_b.transpose(0, 3, 1, 2), want_b, atol=2e-6)
+
+
 def test_usm_sharp_class_and_fn_agree():
     rng = np.random.RandomState(2)
     img = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
