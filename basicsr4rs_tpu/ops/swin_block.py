@@ -500,14 +500,20 @@ def _row_batch(w_chunks, h, ws, cw, c, num_heads, pn, hidden=0):
     """Window-rows per forward grid step (full-width chunks only): fewer,
     bigger grid cells amortize per-step overhead; rows are independent so
     the kernel just loops them with the right per-row bias slice. The
-    10 MB cap bounds the per-step VMEM working set (activations, scores,
-    and — for the joint kernel — the MLP hidden)."""
+    budget caps the per-step VMEM working set (activations, scores,
+    and — for the joint kernel — the MLP hidden). Swept on v5e at the
+    SwinIR-M headline shape (B8 64px): 6 MB (rows 1) 22.5-22.8 MP/s,
+    10-12 MB (rows 2) 22.4-22.5, >=24 MB (rows 4) exceeds the 16 MB
+    scoped-VMEM hardware limit and fails to compile — so the default
+    stays small; SWIN_ROW_BUDGET_MB is an expert knob."""
+    import os
+    budget = float(os.environ.get('SWIN_ROW_BUDGET_MB', '6')) * 1e6
     rows = 1
     if w_chunks == 1:
         nwh = h // ws
         per_token = c * 4 * 3 + num_heads * pn * 4 * 2 + hidden * 4 * 2
         for cand in range(2, nwh + 1):
-            if nwh % cand == 0 and cand * ws * cw * per_token <= 10e6:
+            if nwh % cand == 0 and cand * ws * cw * per_token <= budget:
                 rows = cand
     return rows
 

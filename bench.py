@@ -86,7 +86,7 @@ def msrresnet_flops_per_lr_pixel(nf=64, nb=16, scale=4) -> float:
 
 
 # ------------------------------------------------------------- measurement
-def _time_fori(fn, args, iters, reps=3):
+def _time_fori(fn, args, iters, reps=5):
     """Best-of-reps time for `iters` chained applications of fn (seconds per
     application). fn(carry_scalar, *args) -> scalar contribution."""
     import jax
@@ -414,8 +414,11 @@ def main():
         _drop_hbm()
         return out
 
+    # headline: long chain + extra reps so tunnel-dispatch jitter (the
+    # remote 'axon' RTT) is amortized — 12 chained forwards is ~300 ms of
+    # device work per rep, an order of magnitude above observed RTT noise
     sw_mpix, sw_lrpix_s = stage(bench_infer, _swinir_opt(True), batch=8,
-                                lr_size=64)
+                                lr_size=64, iters=12)
     import jax.numpy as jnp
     msr = dict(type='MSRResNet', num_in_ch=3, num_out_ch=3, num_feat=64,
                num_block=16, upscale=4, dtype=jnp.bfloat16)

@@ -165,3 +165,34 @@ def test_joint_wide_input_uses_w_chunking():
     got = fused_swin_block_full(*args, 4, 2, 0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize('budget_mb', ['0.001', '64'])
+def test_row_batching_parity(budget_mb, monkeypatch):
+    """SWIN_ROW_BUDGET_MB controls how many window-rows each forward grid
+    step processes (rows=1 under a starved budget, rows=4 at 64 MB for
+    this geometry). Both attn-branch and joint kernels must be invariant
+    to the choice."""
+    from basicsr4rs_tpu.ops import swin_block as sb
+    monkeypatch.setenv('SWIN_ROW_BUDGET_MB', budget_mb)
+
+    kw = _joint_case(b=1, h=16, w=16, c=8, heads=2, ws=4, nwb=16, seed=55)
+    # confirm the knob actually lands on the intended rows count
+    x = kw['x']
+    _, h, w, c, ws, n, pack, cw = sb._geometry(x, 4, 2, bwd=False)
+    pn = pack * n
+    rows = sb._row_batch(w // cw, h, ws, cw, c, 2, pn)
+    assert rows == (1 if budget_mb == '0.001' else 4)
+
+    args = [kw[k] for k in ARGNAMES]
+    want = reference_swin_attn_block(*args, 4, 2, 0.5)
+    got = fused_swin_attn_block(*args, 4, 2, 0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    from basicsr4rs_tpu.ops.swin_block import fused_swin_block_full
+    jargs = [kw[k] for k in JOINT_ARGNAMES]
+    want_j = _joint_reference(*jargs, 4, 2, 0.5)
+    got_j = fused_swin_block_full(*jargs, 4, 2, 0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_j), np.asarray(want_j),
+                               atol=5e-5, rtol=1e-4)
