@@ -502,12 +502,16 @@ def _row_batch(w_chunks, h, ws, cw, c, num_heads, pn, hidden=0):
     the kernel just loops them with the right per-row bias slice. The
     budget caps the per-step VMEM working set (activations, scores,
     and — for the joint kernel — the MLP hidden). Swept on v5e at the
-    SwinIR-M headline shape (B8 64px): 6 MB (rows 1) 22.5-22.8 MP/s,
-    10-12 MB (rows 2) 22.4-22.5, >=24 MB (rows 4) exceeds the 16 MB
-    scoped-VMEM hardware limit and fails to compile — so the default
-    stays small; SWIN_ROW_BUDGET_MB is an expert knob."""
+    SwinIR-M headline shape (B8 64px): the joint eval kernel (hidden>0)
+    wants rows=1 (6 MB: 22.5-22.8 MP/s vs 22.4-22.5 at 12 MB / rows=2;
+    >=24 MB / rows=4 exceeds the 16 MB scoped-VMEM hardware limit and
+    fails to compile), while the split attention kernel that training
+    runs (hidden=0, smaller working set) wants rows=2 (10 MB: 5.99 MP/s
+    train step vs 5.87 at rows=1) — so the default budget differs per
+    kernel; SWIN_ROW_BUDGET_MB overrides both."""
     import os
-    budget = float(os.environ.get('SWIN_ROW_BUDGET_MB', '6')) * 1e6
+    default = '6' if hidden else '10'
+    budget = float(os.environ.get('SWIN_ROW_BUDGET_MB', default)) * 1e6
     rows = 1
     if w_chunks == 1:
         nwh = h // ws
