@@ -243,12 +243,32 @@ class SRModel(BaseModel):
             params, stats = self._localize_for_eval(params)
         key = (lq.shape, lq.dtype.name if hasattr(lq.dtype, 'name') else str(lq.dtype))
         if key not in self._eval_fns:
+            # opt-in W8A8 serving mode (ops/quant.py): rewrite eligible
+            # convs to int8 MXU convs at trace time. val: quant_int8: true
+            # -> dynamic activation scales (calibration-free);
+            # 'static' -> calibrate absmax on the first eval batch, then
+            # fully static scales (the fast path: int8 intermediates).
+            quant = (self.opt.get('val') or {}).get('quant_int8')
+            scales = None
+            if quant == 'static':
+                if getattr(self, '_quant_scales', None) is None:
+                    from ..ops.quant import calibrate_act_scales
+                    self._quant_scales = calibrate_act_scales(
+                        lambda b: self._apply_net_g(params, b, stats,
+                                                    train=False)[0], [lq])
+                scales = self._quant_scales
+
             def eval_fn(p, s, x):
                 # process-local eval must not scope the GLOBAL mesh (its
                 # shard_map would span non-addressable devices)
                 import contextlib
                 scope = contextlib.nullcontext() if local else self.kernel_scope()
-                with scope:
+                if quant:
+                    from ..ops.quant import quantized_inference
+                    qscope = quantized_inference(act_scales=scales)
+                else:
+                    qscope = contextlib.nullcontext()
+                with scope, qscope:
                     return self._apply_net_g(p, x, s, train=False)[0]
             self._eval_fns[key] = jax.jit(eval_fn)
         return self._eval_fns[key](params, stats, lq)

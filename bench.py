@@ -10,6 +10,9 @@ supporting measurements the headline is judged against:
   hardware-comparable.
 - ``msrresnet_x4_infer_mpix_s``: the conv-net flagship (continuity with
   round-1 bench).
+- ``msrresnet_int8_infer_mpix_s``: the same flagship under the W8A8
+  static-scale serving mode (ops/quant.py) — int8 MXU convs + int8
+  intermediates.
 - ``swinir_train_mpix_s`` / ``msrresnet_train_mpix_s``: full jitted train
   step (fwd+bwd+Adam+EMA, donated state) in output MP/s; train MFU assumes
   3x forward FLOPs.
@@ -137,6 +140,31 @@ def bench_infer(net_opt, batch, lr_size, iters=4):
     scale = net_opt.get('upscale', 4)
     dt = _time_fori(step, (params, x), iters)
     return batch * (lr_size * scale) ** 2 / dt / 1e6, batch * lr_size**2 / dt
+
+
+def bench_infer_int8(net_opt, batch, lr_size, iters=8):
+    """Output MP/s for the W8A8 static-scale serving mode (ops/quant.py):
+    eligible convs run int8 on the MXU, intermediates stored int8."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from basicsr4rs_tpu.ops.quant import (calibrate_act_scales,
+                                          quantized_inference)
+    net = _build(net_opt)
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, lr_size, lr_size, 3)
+                    .astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)['params']
+    scales = calibrate_act_scales(
+        lambda b: net.apply({'params': params}, b), [x[:8]])
+
+    def step(acc, p, xx):
+        with quantized_inference(act_scales=scales):
+            y = net.apply({'params': p}, xx + acc * 1e-30)
+        return jnp.mean(y.astype(jnp.float32))
+
+    scale = net_opt.get('upscale', 4)
+    dt = _time_fori(step, (params, x), iters)
+    return batch * (lr_size * scale) ** 2 / dt / 1e6
 
 
 def bench_train(net_opt, batch, lr_size, scale=4, iters=4):
@@ -424,6 +452,7 @@ def main():
                num_block=16, upscale=4, dtype=jnp.bfloat16)
     ms_mpix, ms_lrpix_s = stage(bench_infer, dict(msr), batch=128, lr_size=96,
                                 iters=8)
+    ms_int8_mpix = stage(bench_infer_int8, dict(msr), batch=128, lr_size=96)
     sw_tr_mpix, sw_tr_lrpix = stage(bench_train, _swinir_opt(True), batch=8,
                                     lr_size=64)
     ms_tr_mpix, ms_tr_lrpix = stage(bench_train, dict(msr), batch=64,
@@ -458,6 +487,7 @@ def main():
             'swinir_train_mfu': mfu(sw_tr_lrpix, sw_flops, 3.0),
             'msrresnet_x4_infer_mpix_s': round(ms_mpix, 2),
             'msrresnet_infer_mfu': mfu(ms_lrpix_s, ms_flops),
+            'msrresnet_int8_infer_mpix_s': round(ms_int8_mpix, 2),
             'msrresnet_train_mpix_s': round(ms_tr_mpix, 2),
             'msrresnet_train_mfu': mfu(ms_tr_lrpix, ms_flops, 3.0),
             'attn_pallas_vs_xla': round(ab, 2),
