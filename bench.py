@@ -453,6 +453,10 @@ def main():
     ms_mpix, ms_lrpix_s = stage(bench_infer, dict(msr), batch=128, lr_size=96,
                                 iters=8)
     ms_int8_mpix = stage(bench_infer_int8, dict(msr), batch=128, lr_size=96)
+    svg = dict(type='SRVGGNetCompact', num_in_ch=3, num_out_ch=3, num_feat=64,
+               num_conv=16, upscale=4, act_type='prelu', dtype=jnp.bfloat16)
+    svg_mpix, _ = stage(bench_infer, dict(svg), batch=64, lr_size=128, iters=6)
+    svg_int8_mpix = stage(bench_infer_int8, dict(svg), batch=64, lr_size=128)
     sw_tr_mpix, sw_tr_lrpix = stage(bench_train, _swinir_opt(True), batch=8,
                                     lr_size=64)
     ms_tr_mpix, ms_tr_lrpix = stage(bench_train, dict(msr), batch=64,
@@ -488,6 +492,8 @@ def main():
             'msrresnet_x4_infer_mpix_s': round(ms_mpix, 2),
             'msrresnet_infer_mfu': mfu(ms_lrpix_s, ms_flops),
             'msrresnet_int8_infer_mpix_s': round(ms_int8_mpix, 2),
+            'srvgg_infer_mpix_s': round(svg_mpix, 2),
+            'srvgg_int8_infer_mpix_s': round(svg_int8_mpix, 2),
             'msrresnet_train_mpix_s': round(ms_tr_mpix, 2),
             'msrresnet_train_mfu': mfu(ms_tr_lrpix, ms_flops, 3.0),
             'attn_pallas_vs_xla': round(ab, 2),
