@@ -43,12 +43,16 @@ def _bucket_name(h: int, w: int, b: int) -> str:
 
 
 def export_network(net, params, batch: int, height: int, width: int,
-                   in_chans: int = 3, dtype=None, platforms=None):
+                   in_chans: int = 3, dtype=None, platforms=None,
+                   quant_act_scales=None):
     """Export ``net.apply({'params': params}, x)`` for one static NHWC shape.
 
     Weights are captured as constants inside the artifact. ``platforms``
     follows `jax.export` semantics (None = current backend; e.g.
-    ``['tpu']`` to lower for TPU from a CPU host).
+    ``['tpu']`` to lower for TPU from a CPU host). ``quant_act_scales``
+    (from ``ops.quant.calibrate_act_scales``) bakes the W8A8 int8 serving
+    mode into the artifact — the exported StableHLO carries int8 weights
+    and static requant chains.
     """
     import jax
     import jax.numpy as jnp
@@ -57,6 +61,10 @@ def export_network(net, params, batch: int, height: int, width: int,
     dtype = dtype or jnp.float32
 
     def fwd(x):
+        if quant_act_scales is not None:
+            from ..ops.quant import quantized_inference
+            with quantized_inference(act_scales=quant_act_scales):
+                return net.apply({'params': params}, x)
         return net.apply({'params': params}, x)
 
     spec = jax.ShapeDtypeStruct((batch, height, width, in_chans), dtype)
@@ -68,7 +76,8 @@ def export_network(net, params, batch: int, height: int, width: int,
 
 def save_serving_dir(out_dir: str, net, params, buckets, *, scale: int,
                      in_chans: int = 3, batch: int = 1, dtype=None,
-                     pad_multiple: int = 1, platforms=None, meta=None) -> dict:
+                     pad_multiple: int = 1, platforms=None, meta=None,
+                     quant_act_scales=None) -> dict:
     """Export every (H, W) bucket and write the serving directory.
 
     ``pad_multiple`` records the arch's alignment requirement (e.g. SwinIR's
@@ -83,7 +92,8 @@ def save_serving_dir(out_dir: str, net, params, buckets, *, scale: int,
         if h % pad_multiple or w % pad_multiple:
             raise ValueError(f'bucket {h}x{w} not a multiple of {pad_multiple}')
         exported = export_network(net, params, batch, h, w, in_chans=in_chans,
-                                  dtype=dtype, platforms=platforms)
+                                  dtype=dtype, platforms=platforms,
+                                  quant_act_scales=quant_act_scales)
         fname = _bucket_name(h, w, batch)
         with open(osp.join(out_dir, fname), 'wb') as f:
             f.write(exported.serialize())
@@ -93,6 +103,7 @@ def save_serving_dir(out_dir: str, net, params, buckets, *, scale: int,
         'in_chans': in_chans,
         'dtype': jnp.dtype(dtype).name,
         'pad_multiple': pad_multiple,
+        'quant': 'int8-static' if quant_act_scales is not None else None,
         'buckets': sorted(entries, key=lambda e: e['h'] * e['w']),
         'meta': meta or {},
     }

@@ -35,6 +35,12 @@ def main():
                    help="comma list for cross-platform lowering, e.g. 'tpu'")
     p.add_argument('--dtype', default='float32',
                    choices=['float32', 'bfloat16'])
+    p.add_argument('--int8', action='store_true',
+                   help='bake the W8A8 int8 serving mode into the artifact '
+                        '(ops/quant.py; static activation scales)')
+    p.add_argument('--calib', default=None,
+                   help='NHWC .npy batch for int8 calibration (default: '
+                        'uniform random at the first bucket shape)')
     args = p.parse_args()
 
     import jax
@@ -66,12 +72,28 @@ def main():
         params = net.init(jax.random.PRNGKey(0), x0)['params']
         print('WARNING: no --model_path; exporting RANDOM weights')
 
+    scales = None
+    if args.int8:
+        import numpy as np
+        from basicsr4rs_tpu.ops.quant import calibrate_act_scales
+        if args.calib:
+            calib = jnp.asarray(np.load(args.calib), dtype)
+        else:
+            print('WARNING: no --calib; calibrating int8 scales on uniform '
+                  'random input')
+            calib = jax.random.uniform(
+                jax.random.PRNGKey(0),
+                (args.batch, buckets[0][0], buckets[0][1], in_chans), dtype)
+        scales = calibrate_act_scales(
+            lambda b: net.apply({'params': params}, b), [calib])
+        print(f'int8: calibrated {len(scales)} conv sites')
+
     from basicsr4rs_tpu.utils.serving import save_serving_dir
     platforms = args.platforms.split(',') if args.platforms else None
     manifest = save_serving_dir(
         args.out, net, params, buckets, scale=scale, in_chans=in_chans,
         batch=args.batch, dtype=dtype, pad_multiple=pad_multiple,
-        platforms=platforms,
+        platforms=platforms, quant_act_scales=scales,
         meta={'network': net_opt.get('type'), 'opt': args.opt})
     print(f'exported {len(manifest["buckets"])} buckets -> {args.out}')
 

@@ -100,3 +100,39 @@ def test_batch_padding(tmp_path, small_net):
     np.testing.assert_array_equal(got, want)
     with pytest.raises(ValueError, match='batch'):
         sm.run(np.zeros((5, 16, 16, 3), np.float32))
+
+
+def test_int8_export_roundtrip(tmp_path, small_net):
+    """--int8 export: the artifact bakes the W8A8 static-scale mode and
+    bit-matches the live quantized apply on a bucket-exact input."""
+    import jax
+    import jax.numpy as jnp
+
+    from basicsr4rs_tpu.archs import build_network
+    from basicsr4rs_tpu.ops.quant import (calibrate_act_scales,
+                                          quantized_inference)
+    from basicsr4rs_tpu.utils.serving import ServingModel, save_serving_dir
+
+    # needs channels >= the quantizer's min_channels eligibility bar
+    net = build_network(dict(type='MSRResNet', num_in_ch=3, num_out_ch=3,
+                             num_feat=16, num_block=1, upscale=4))
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 16, 16, 3),
+                    jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)['params']
+    scales = calibrate_act_scales(
+        lambda b: net.apply({'params': params}, b), [x])
+    manifest = save_serving_dir(str(tmp_path), net, params, [(16, 16)],
+                                scale=4, in_chans=3,
+                                quant_act_scales=scales)
+    assert manifest['quant'] == 'int8-static'
+
+    sm = ServingModel(str(tmp_path))
+    got = sm.run(np.asarray(x))
+    with quantized_inference(act_scales=scales):
+        want = np.asarray(net.apply({'params': params}, x))
+    # not bit-exact: XLA may reassociate the f32 dequant chain differently
+    # in the exported artifact, flipping the odd value by ~1 ulp
+    np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-6)
+    # and the int8 artifact differs from the fp forward (mode engaged)
+    fp = np.asarray(net.apply({'params': params}, x))
+    assert not np.array_equal(got, fp)
