@@ -443,10 +443,13 @@ def main():
         return out
 
     # headline: long chain + extra reps so tunnel-dispatch jitter (the
-    # remote 'axon' RTT) is amortized — 12 chained forwards is ~300 ms of
-    # device work per rep, an order of magnitude above observed RTT noise
-    sw_mpix, sw_lrpix_s = stage(bench_infer, _swinir_opt(True), batch=8,
-                                lr_size=64, iters=12)
+    # remote 'axon' RTT) is amortized — the chain is ~300+ ms of device
+    # work per rep, an order of magnitude above observed RTT noise.
+    # batch 16: the serving sweet spot measured on chip (B8 22.9 / B16
+    # 24.9 / B32 23.3 MP/s) — more grid cells per kernel launch pipeline
+    # better until VMEM pressure bites at B32.
+    sw_mpix, sw_lrpix_s = stage(bench_infer, _swinir_opt(True), batch=16,
+                                lr_size=64, iters=8)
     import jax.numpy as jnp
     msr = dict(type='MSRResNet', num_in_ch=3, num_out_ch=3, num_feat=64,
                num_block=16, upscale=4, dtype=jnp.bfloat16)
