@@ -47,6 +47,12 @@ def main():
     p.add_argument('--scale', type=int, default=None, help='override task upscale')
     p.add_argument('--input', default='datasets/lq')
     p.add_argument('--output', default='results/swinir')
+    p.add_argument('--tile', type=int, default=0,
+                   help='tile size for batched tiled inference on huge '
+                        'inputs (0 = whole image; rounded up to the window '
+                        'multiple). Tiles run as ONE device batch.')
+    p.add_argument('--tile_pad', type=int, default=32,
+                   help='halo around each tile core (input pixels)')
     args = p.parse_args()
 
     kwargs = dict(TASKS[args.task])
@@ -56,6 +62,13 @@ def main():
     params = load_params(args.model_path, net)
     apply = jax.jit(lambda x: net.apply({'params': params}, x))
     scale, window = kwargs['upscale'], kwargs['window_size']
+    if args.tile:
+        from basicsr4rs_tpu.ops.tile import tiled_apply
+        # tile geometry must keep every padded tile a window multiple
+        tile = -(-args.tile // window) * window
+        pad = -(-args.tile_pad // window) * window
+        base_apply = apply
+        apply = lambda x: tiled_apply(base_apply, x, scale, tile, pad)  # noqa: E731
     gray = kwargs['in_chans'] == 1
 
     os.makedirs(args.output, exist_ok=True)

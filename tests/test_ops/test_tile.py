@@ -27,3 +27,33 @@ def test_tiled_apply_identity():
     got = np.asarray(tiled_apply(fn, x, scale=2, tile_size=4, tile_pad=2))
     want = np.asarray(fn(x))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_tiled_apply_swinir_receptive_field():
+    """Window-attention tiling (inference_swinir.py --tile): once tile_pad
+    covers the model's receptive field (depth x window for this 2-block
+    net), tiling is BIT-exact; a smaller halo is approximate — the same
+    semantics as the reference tool's tile mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from basicsr4rs_tpu.archs.swinir_arch import SwinIR
+    from basicsr4rs_tpu.models.swinir_model import pad_to_multiple
+    from basicsr4rs_tpu.ops.tile import tiled_apply
+
+    net = SwinIR(upscale=4, in_chans=3, img_size=16, window_size=8,
+                 img_range=1., depths=[2], embed_dim=16, num_heads=[2],
+                 mlp_ratio=2, upsampler='pixelshuffledirect')
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 37, 53, 3))
+    params = net.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 16, 16, 3)))['params']
+
+    def apply(v):
+        return net.apply({'params': params}, v)
+
+    xp = pad_to_multiple(x, 8)
+    want = np.asarray(apply(xp))
+    exact = np.asarray(tiled_apply(apply, xp, 4, 16, tile_pad=16))
+    np.testing.assert_array_equal(want, exact)
+    approx = np.asarray(tiled_apply(apply, xp, 4, 16, tile_pad=8))
+    assert 0 < np.abs(want - approx).max() < 0.05
