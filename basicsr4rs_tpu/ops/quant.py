@@ -165,8 +165,15 @@ def _interceptor(next_fun, args, kwargs, context, *, min_channels: int,
     path = tuple(getattr(mod, 'path', ()) or ())
     if record is not None:
         # calibration pass: record the pre-conv absmax, run the conv fp
-        amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
-        record[path] = max(record.get(path, 0.0), amax)
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        if isinstance(amax, jax.core.Tracer):
+            # inside a traced scope (a lax/nn.scan body — recurrent video
+            # trunks) the value cannot be read out even under an eager
+            # apply; the site stays unrecorded and therefore runs fp at
+            # static-scale inference. Use dynamic scales to quantize
+            # scanned convs.
+            return next_fun(*args, **kwargs)
+        record[path] = max(record.get(path, 0.0), float(amax))
         return next_fun(*args, **kwargs)
     act_scale = None
     if act_scales is not None:
@@ -197,10 +204,15 @@ def quantized_inference(min_channels: int = 16, act_scales=None):
 
 
 def calibrate_act_scales(apply_fn, batches, min_channels: int = 16) -> dict:
-    """Run ``apply_fn(batch)`` (full precision, eagerly) over the
-    calibration ``batches`` and return {conv-path: max absmax seen} for
-    every conv that ``quantized_inference`` would rewrite. Feed the result
-    back as ``act_scales=``."""
+    """Run ``apply_fn(batch)`` (full precision, eagerly — do NOT jit it)
+    over the calibration ``batches`` and return {conv-path: max absmax
+    seen} for every conv that ``quantized_inference`` would rewrite. Feed
+    the result back as ``act_scales=``.
+
+    Convs inside ``lax``/``nn.scan`` bodies (recurrent video trunks) are
+    traced even under an eager apply and cannot be calibrated; they are
+    skipped here and stay full-precision under static scales (use dynamic
+    scales — ``act_scales=None`` — to quantize them)."""
     record: dict = {}
     interceptor = functools.partial(_interceptor, min_channels=min_channels,
                                     record=record)

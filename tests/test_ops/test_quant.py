@@ -181,3 +181,28 @@ def test_sr_model_val_flag(tmp_path, mode):
     assert out_q.shape == out_f.shape
     assert not np.allclose(out_q, out_f)     # int8 path actually engaged
     assert snr_db(out_f, out_q) > 28.0
+
+
+def test_calibration_skips_scanned_convs():
+    """Recurrent trunks run their convs inside nn.scan, whose body is
+    traced even under an eager apply — those sites can't be calibrated
+    and must be skipped (staying fp under static scales) instead of
+    raising ConcretizationTypeError."""
+    from basicsr4rs_tpu.archs import build_network
+    from basicsr4rs_tpu.ops.quant import calibrate_act_scales
+
+    net = build_network(dict(type='BasicVSR', num_feat=64, num_block=1))
+    calib = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 64, 64, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(1), calib)
+    scales = calibrate_act_scales(lambda v: net.apply(params, v), [calib])
+    # the non-scanned sites (SpyNet pyramid, fusion/upsample convs) record;
+    # no scanned trunk path appears
+    assert len(scales) > 0
+    assert not any('trunk' in '/'.join(p) for p in scales)
+    # static inference with these scales runs (scanned convs fp, rest int8)
+    from basicsr4rs_tpu.ops.quant import quantized_inference
+    ref = net.apply(params, calib)
+    with quantized_inference(act_scales=scales):
+        q = net.apply(params, calib)
+    assert q.shape == ref.shape
+    assert snr_db(ref, q) > 25.0
