@@ -1,4 +1,16 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints the result JSON line INCREMENTALLY.
+
+The headline JSON line is printed immediately after the first (SwinIR)
+stage completes; after every subsequent stage a superset line is re-printed.
+The LAST complete line is the result — a timeout therefore costs only the
+not-yet-run extras, never the headline (round-3 lesson: the all-or-nothing
+single-print design lost the whole round's measured record to an rc=124).
+A wall-clock budget (env ``BENCH_BUDGET_S``, default 1080 s) is checked
+before each stage; stages that don't fit are recorded in
+``extras['skipped']``. A stage that *crashes* is recorded in
+``extras['errors']`` and the run continues. Stages are ordered by
+value-per-second: headline -> train MFU -> int8 -> kernel A/Bs -> video ->
+diffusion/GAN/synth.
 
 Headline metric: SwinIR-M x4 inference throughput in output megapixels/sec
 on the available accelerator (BASELINE.md north star). ``extras`` carries the
@@ -39,6 +51,7 @@ execution.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 V5E_BF16_PEAK = 197e12
@@ -281,18 +294,15 @@ def _load_script(name):
     return mod
 
 
-def bench_video_steps(iters=3):
-    """EDVR-M and BasicVSR++ full train-step ms (same configs as
+def bench_video_step(which, iters=3):
+    """One video-family full train-step, ms (same configs as
     scripts/bench_video.py — driver-captured so the judge can re-derive the
-    video-family numbers from BENCH artifacts, VERDICT r2 #6)."""
-    import gc
-    import jax
+    video-family numbers from BENCH artifacts, VERDICT r2 #6). Split per
+    model so the budget check can skip each independently."""
     mod = _load_script('bench_video.py')
-    edvr = mod.bench('edvr', batch=4, frames=5, lr_size=64, iters=iters)
-    gc.collect()
-    jax.clear_caches()  # EDVR train state + executables before BasicVSR++
-    vpp = mod.bench('basicvsrpp', batch=2, frames=7, lr_size=64, iters=iters)
-    return edvr['step_ms'], vpp['step_ms']
+    if which == 'edvr':
+        return mod.bench('edvr', batch=4, frames=5, lr_size=64, iters=iters)['step_ms']
+    return mod.bench('basicvsrpp', batch=2, frames=7, lr_size=64, iters=iters)['step_ms']
 
 
 def bench_resshift_sampling(steps=15, reps=3):
@@ -423,10 +433,16 @@ def bench_stylegan2_g(reps=3, iters=4):
 
 def main():
     import jax
+    t_start = time.monotonic()
+    budget = float(os.environ.get('BENCH_BUDGET_S', '1200'))
     peak = V5E_BF16_PEAK if jax.default_backend() == 'tpu' else None
 
     sw_flops = swinir_m_flops_per_lr_pixel()
     ms_flops = msrresnet_flops_per_lr_pixel()
+    torch_a100 = (A100_FP16_PEAK * TORCH_A100_ASSUMED_MFU / sw_flops) * 16 / 1e6
+
+    def mfu(lrpix_s, flops, mult=1.0):
+        return round(lrpix_s * flops * mult / peak, 4) if peak else None
 
     def _drop_hbm():
         # each stage leaves compiled executables + cached constants behind;
@@ -437,82 +453,139 @@ def main():
         jax.clear_caches()
         gc.collect()
 
-    def stage(fn, *a, **k):
-        out = fn(*a, **k)
-        _drop_hbm()
-        return out
+    extras = {
+        'baseline_note': ('torch A100 estimate = 312 TFLOP/s fp16 x '
+                          f'{TORCH_A100_ASSUMED_MFU:.0%} MFU / '
+                          f'{sw_flops / 1e6:.1f} MFLOPs/LR-pix = '
+                          f'{torch_a100:.1f} MP/s; north star >= 2x. '
+                          'NB: v5e bf16 peak is 197/312 = 0.63x A100 '
+                          'fp16, so vs_baseline x 1.58 gives the '
+                          'peak-normalized MFU ratio vs the assumed '
+                          'torch 10%'),
+        'swinir_mflops_per_lr_pixel': round(sw_flops / 1e6, 2),
+        'msrresnet_mflops_per_lr_pixel': round(ms_flops / 1e6, 2),
+        'dtype': 'bfloat16',
+        'backend': jax.default_backend(),
+        'budget_s': budget,
+        'skipped': [],
+        'errors': {},
+    }
+    out = {
+        'metric': 'swinir_m_x4_infer_mpix_per_s',
+        'value': None,
+        'unit': 'MP/s',
+        'vs_baseline': None,
+        'extras': extras,
+    }
 
-    # headline: long chain + extra reps so tunnel-dispatch jitter (the
-    # remote 'axon' RTT) is amortized — the chain is ~300+ ms of device
-    # work per rep, an order of magnitude above observed RTT noise.
-    # batch 16: the serving sweet spot measured on chip (B8 22.9 / B16
-    # 24.9 / B32 23.3 MP/s) — more grid cells per kernel launch pipeline
-    # better until VMEM pressure bites at B32.
-    sw_mpix, sw_lrpix_s = stage(bench_infer, _swinir_opt(True), batch=16,
-                                lr_size=64, iters=8)
+    def emit():
+        extras['elapsed_s'] = round(time.monotonic() - t_start, 1)
+        print(json.dumps(out), flush=True)
+
+    def stage(name, est_s, fn, *a, **k):
+        """Run one stage under the wall-clock budget; never raises.
+
+        Skips (recorded in extras['skipped']) when the stage's estimated
+        cost does not fit the remaining budget; a crash is recorded in
+        extras['errors']. Either way the current superset JSON is
+        re-emitted afterwards so the last complete stdout line always
+        reflects every stage finished so far."""
+        if time.monotonic() - t_start + est_s > budget:
+            extras['skipped'].append(name)
+            emit()
+            return None
+        try:
+            result = fn(*a, **k)
+        except Exception as e:  # noqa: BLE001 — keep benching past a bad stage
+            extras['errors'][name] = repr(e)[:300]
+            result = None
+        _drop_hbm()
+        emit()
+        return result
+
+    # ---- headline first: its JSON line is on stdout before anything else
+    # can time out. Long chain + extra reps so tunnel-dispatch jitter (the
+    # remote 'axon' RTT) is amortized. batch 16: the serving sweet spot
+    # measured on chip (B8 22.9 / B16 24.9 / B32 23.3 MP/s).
+    def _headline():
+        sw_mpix, sw_lrpix_s = bench_infer(_swinir_opt(True), batch=16,
+                                          lr_size=64, iters=8)
+        out['value'] = round(sw_mpix, 2)
+        out['vs_baseline'] = round(sw_mpix / torch_a100, 3)
+        extras['swinir_infer_mfu'] = mfu(sw_lrpix_s, sw_flops)
+    stage('swinir_infer', 240, _headline)
+
     import jax.numpy as jnp
     msr = dict(type='MSRResNet', num_in_ch=3, num_out_ch=3, num_feat=64,
                num_block=16, upscale=4, dtype=jnp.bfloat16)
-    ms_mpix, ms_lrpix_s = stage(bench_infer, dict(msr), batch=128, lr_size=96,
-                                iters=8)
-    ms_int8_mpix = stage(bench_infer_int8, dict(msr), batch=128, lr_size=96)
     svg = dict(type='SRVGGNetCompact', num_in_ch=3, num_out_ch=3, num_feat=64,
                num_conv=16, upscale=4, act_type='prelu', dtype=jnp.bfloat16)
-    svg_mpix, _ = stage(bench_infer, dict(svg), batch=64, lr_size=128, iters=6)
-    svg_int8_mpix = stage(bench_infer_int8, dict(svg), batch=64, lr_size=128)
-    sw_tr_mpix, sw_tr_lrpix = stage(bench_train, _swinir_opt(True), batch=8,
-                                    lr_size=64)
-    ms_tr_mpix, ms_tr_lrpix = stage(bench_train, dict(msr), batch=64,
-                                    lr_size=64)
-    ab = stage(bench_attention_ab)
-    dcn_ms = stage(bench_dcn_train)
-    edvr_ms, vpp_ms = stage(bench_video_steps)
-    resshift_ms = stage(bench_resshift_sampling)
-    sg2_ms = stage(bench_stylegan2_g)
-    synth_ms = stage(bench_realesrgan_synth)
 
-    def mfu(lrpix_s, flops, mult=1.0):
-        return round(lrpix_s * flops * mult / peak, 4) if peak else None
+    # ---- value-per-second order: train MFU (round-4 gate metric), int8,
+    # conv flagship, kernel A/Bs, then the long-compile video/diffusion/GAN
+    # tail that round 3's all-or-nothing design drowned in.
+    def _sw_train():
+        sw_tr_mpix, sw_tr_lrpix = bench_train(_swinir_opt(True), batch=8,
+                                              lr_size=64)
+        extras['swinir_train_mpix_s'] = round(sw_tr_mpix, 2)
+        extras['swinir_train_mfu'] = mfu(sw_tr_lrpix, sw_flops, 3.0)
+    stage('swinir_train', 180, _sw_train)
 
-    torch_a100 = (A100_FP16_PEAK * TORCH_A100_ASSUMED_MFU / sw_flops) * 16 / 1e6
-    out = {
-        'metric': 'swinir_m_x4_infer_mpix_per_s',
-        'value': round(sw_mpix, 2),
-        'unit': 'MP/s',
-        'vs_baseline': round(sw_mpix / torch_a100, 3),
-        'extras': {
-            'baseline_note': ('torch A100 estimate = 312 TFLOP/s fp16 x '
-                              f'{TORCH_A100_ASSUMED_MFU:.0%} MFU / '
-                              f'{sw_flops / 1e6:.1f} MFLOPs/LR-pix = '
-                              f'{torch_a100:.1f} MP/s; north star >= 2x. '
-                              'NB: v5e bf16 peak is 197/312 = 0.63x A100 '
-                              'fp16, so vs_baseline x 1.58 gives the '
-                              'peak-normalized MFU ratio vs the assumed '
-                              'torch 10%'),
-            'swinir_infer_mfu': mfu(sw_lrpix_s, sw_flops),
-            'swinir_train_mpix_s': round(sw_tr_mpix, 2),
-            'swinir_train_mfu': mfu(sw_tr_lrpix, sw_flops, 3.0),
-            'msrresnet_x4_infer_mpix_s': round(ms_mpix, 2),
-            'msrresnet_infer_mfu': mfu(ms_lrpix_s, ms_flops),
-            'msrresnet_int8_infer_mpix_s': round(ms_int8_mpix, 2),
-            'srvgg_infer_mpix_s': round(svg_mpix, 2),
-            'srvgg_int8_infer_mpix_s': round(svg_int8_mpix, 2),
-            'msrresnet_train_mpix_s': round(ms_tr_mpix, 2),
-            'msrresnet_train_mfu': mfu(ms_tr_lrpix, ms_flops, 3.0),
-            'attn_pallas_vs_xla': round(ab, 2),
-            'dcn_fwd_bwd_ms': round(dcn_ms, 2),
-            'edvr_m_train_step_ms': round(edvr_ms, 1),
-            'basicvsrpp_train_step_ms': round(vpp_ms, 1),
-            'resshift_sample15_ms': round(resshift_ms, 1),
-            'stylegan2_g_fwd_bwd_ms': round(sg2_ms, 1),
-            'realesrgan_synth_ms': round(synth_ms, 1),
-            'swinir_mflops_per_lr_pixel': round(sw_flops / 1e6, 2),
-            'msrresnet_mflops_per_lr_pixel': round(ms_flops / 1e6, 2),
-            'dtype': 'bfloat16',
-            'backend': jax.default_backend(),
-        },
-    }
-    print(json.dumps(out))
+    def _ms_infer():
+        ms_mpix, ms_lrpix_s = bench_infer(dict(msr), batch=128, lr_size=96,
+                                          iters=8)
+        extras['msrresnet_x4_infer_mpix_s'] = round(ms_mpix, 2)
+        extras['msrresnet_infer_mfu'] = mfu(ms_lrpix_s, ms_flops)
+    stage('msrresnet_infer', 90, _ms_infer)
+
+    def _ms_int8():
+        extras['msrresnet_int8_infer_mpix_s'] = round(
+            bench_infer_int8(dict(msr), batch=128, lr_size=96), 2)
+    stage('msrresnet_int8', 100, _ms_int8)
+
+    def _svg():
+        svg_mpix, _ = bench_infer(dict(svg), batch=64, lr_size=128, iters=6)
+        extras['srvgg_infer_mpix_s'] = round(svg_mpix, 2)
+        extras['srvgg_int8_infer_mpix_s'] = round(
+            bench_infer_int8(dict(svg), batch=64, lr_size=128), 2)
+    stage('srvgg_fp_and_int8', 140, _svg)
+
+    def _ms_train():
+        ms_tr_mpix, ms_tr_lrpix = bench_train(dict(msr), batch=64, lr_size=64)
+        extras['msrresnet_train_mpix_s'] = round(ms_tr_mpix, 2)
+        extras['msrresnet_train_mfu'] = mfu(ms_tr_lrpix, ms_flops, 3.0)
+    stage('msrresnet_train', 100, _ms_train)
+
+    def _ab():
+        extras['attn_pallas_vs_xla'] = round(bench_attention_ab(), 2)
+    stage('attn_ab', 150, _ab)
+
+    def _dcn():
+        extras['dcn_fwd_bwd_ms'] = round(bench_dcn_train(), 2)
+    stage('dcn', 80, _dcn)
+
+    def _edvr():
+        extras['edvr_m_train_step_ms'] = round(bench_video_step('edvr'), 1)
+    stage('edvr_train_step', 280, _edvr)
+
+    def _vpp():
+        extras['basicvsrpp_train_step_ms'] = round(
+            bench_video_step('basicvsrpp'), 1)
+    stage('basicvsrpp_train_step', 500, _vpp)
+
+    def _resshift():
+        extras['resshift_sample15_ms'] = round(bench_resshift_sampling(), 1)
+    stage('resshift_sampling', 150, _resshift)
+
+    def _sg2():
+        extras['stylegan2_g_fwd_bwd_ms'] = round(bench_stylegan2_g(), 1)
+    stage('stylegan2_g', 120, _sg2)
+
+    def _synth():
+        extras['realesrgan_synth_ms'] = round(bench_realesrgan_synth(), 1)
+    stage('realesrgan_synth', 80, _synth)
+
+    emit()
 
 
 if __name__ == '__main__':
