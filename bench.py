@@ -101,6 +101,60 @@ def msrresnet_flops_per_lr_pixel(nf=64, nb=16, scale=4) -> float:
     return float(f)
 
 
+def basicvsrpp_flops_per_lr_pixel_frame(mc=64, nb=7, t=7, dg=16) -> float:
+    """Analytic model FLOPs per LR pixel per FRAME for BasicVSR++
+    (is_low_res_input; mirrors archs/basicvsrpp_arch.py / reference
+    basicvsrpp_arch.py:15-345). Dot/conv FLOPs only (2*K^2*Cin*Cout per
+    conv); the DCN is counted as its sampled 3x3 matmul, bilinear taps and
+    flow-warp gathers are elementwise and excluded — consistent with the
+    image-family convention, so MFU is conservative and comparable."""
+    rb = 2 * 2 * 9 * mc * mc                      # one ResidualBlockNoBN
+    feat_extract = 2 * 9 * 3 * mc + 5 * rb
+    # SpyNet (7x7 convs, 6 pyramid levels, geometric pixel sum ~4/3):
+    spy_module = 2 * 49 * (8 * 32 + 32 * 64 + 64 * 32 + 32 * 16 + 16 * 2)
+    spy_per_pair = spy_module * 6 * (4. / 3.) / 4.  # 6 levels of 1/4^k px
+    # both directions, (t-1) pairs over t frames:
+    spynet = 2. * (t - 1) / t * spy_per_pair
+    # 4 propagation branches:
+    offs = (2 * 9 * (3 * mc + 4) * mc + 2 * 2 * 9 * mc * mc
+            + 2 * 9 * mc * 27 * dg)               # conv_offset_0/2/4/6
+    dcn = 2 * 9 * (2 * mc) * mc                   # sampled 3x3 matmul
+    backbone_rbs = nb * rb
+    first_convs = sum(2 * 9 * (2 + i) * mc * mc for i in range(4))
+    branches = 4 * (offs + dcn + backbone_rbs) + first_convs
+    recon = 2 * 9 * 5 * mc * mc + 5 * rb
+    up = (2 * 9 * mc * 4 * mc                     # upconv1 at LR
+          + 4 * 2 * 9 * 64 * 256                  # upconv2 at 2x
+          + 16 * 2 * 9 * 64 * 64                  # conv_hr at 4x
+          + 16 * 2 * 9 * 64 * 3)                  # conv_last at 4x
+    return float(feat_extract + spynet + branches + recon + up)
+
+
+def edvr_m_flops_per_lr_pixel_clip(nf=64, nframes=5, extract_rb=5,
+                                   recon_rb=10) -> float:
+    """Analytic model FLOPs per LR pixel per CLIP (EDVR outputs the center
+    frame) for EDVR-M without TSA (archs/edvr_arch.py / reference
+    edvr_arch.py). Same dot/conv-only convention as above."""
+    rb = 2 * 2 * 9 * nf * nf
+    extract = nframes * (2 * 9 * 3 * nf + extract_rb * rb)
+    conv2 = 2 * 9 * nf * nf
+    pyramid = nframes * (2 * conv2 / 4. + 2 * conv2 / 16.)   # L2 + L3 convs
+    # PCD per neighbor: L3 (1/16): offset convs (concat 2nf->nf, nf->nf) +
+    # DCN; L2 (1/4): offset convs (2nf->nf, 2nf->nf) + DCN + feat conv
+    # (2nf->nf); L1: same at full res; cascade: 2nf->nf + nf->nf + DCN.
+    dcn = conv2
+    l3 = (2 * conv2 + conv2 + dcn) / 16.
+    l2 = (2 * conv2 + 2 * conv2 + dcn + 2 * conv2) / 4.
+    l1 = (2 * conv2 + 2 * conv2 + dcn + 2 * conv2)
+    cas = 2 * conv2 + conv2 + dcn
+    pcd = nframes * (l3 + l2 + l1 + cas)
+    fusion = 2 * 9 * nframes * nf * nf
+    recon = recon_rb * rb
+    up = (2 * 9 * nf * 4 * nf + 4 * 2 * 9 * 64 * 256
+          + 16 * 2 * 9 * 64 * 64 + 16 * 2 * 9 * 64 * 3)
+    return float(extract + pyramid + pcd + fusion + recon + up)
+
+
 # ------------------------------------------------------------- measurement
 def _time_fori(fn, args, iters, reps=5):
     """Best-of-reps time for `iters` chained applications of fn (seconds per
@@ -565,12 +619,19 @@ def main():
     stage('dcn', 80, _dcn)
 
     def _edvr():
-        extras['edvr_m_train_step_ms'] = round(bench_video_step('edvr'), 1)
+        ms = bench_video_step('edvr')
+        extras['edvr_m_train_step_ms'] = round(ms, 1)
+        if peak:
+            fl = 3 * 4 * 64 * 64 * edvr_m_flops_per_lr_pixel_clip()
+            extras['edvr_m_train_mfu'] = round(fl / (ms / 1e3) / peak, 4)
     stage('edvr_train_step', 280, _edvr)
 
     def _vpp():
-        extras['basicvsrpp_train_step_ms'] = round(
-            bench_video_step('basicvsrpp'), 1)
+        ms = bench_video_step('basicvsrpp')
+        extras['basicvsrpp_train_step_ms'] = round(ms, 1)
+        if peak:
+            fl = 3 * 2 * 7 * 64 * 64 * basicvsrpp_flops_per_lr_pixel_frame(t=7)
+            extras['basicvsrpp_train_mfu'] = round(fl / (ms / 1e3) / peak, 4)
     stage('basicvsrpp_train_step', 500, _vpp)
 
     def _resshift():

@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
 
 
-def _make_model(kind, frames=5):
+def _make_model(kind, frames=5, dtype=None):
     from basicsr4rs_tpu.models import build_model
     from basicsr4rs_tpu.utils.options import yaml_load
     if kind == 'edvr':
@@ -51,6 +51,8 @@ def _make_model(kind, frames=5):
         net = ('{type: BasicVSR, num_feat: 64, num_block: 15, '
                'spynet_path: ~}')
         model_type, extra = 'VideoRecurrentModel', 'fix_flow: 0\n  flow_lr_mul: 0.125'
+    if dtype:
+        net = net[:-1] + f', dtype: {dtype}}}'
     opt = yaml_load(f"""
 name: bench_video
 model_type: {model_type}
@@ -76,9 +78,9 @@ val: {{val_freq: !!float 1e8, metrics: {{psnr: {{type: calculate_psnr, crop_bord
     return build_model(opt)
 
 
-def bench(kind, batch, frames, lr_size, iters):
+def bench(kind, batch, frames, lr_size, iters, dtype=None):
     import jax
-    model = _make_model(kind, frames)
+    model = _make_model(kind, frames, dtype)
     rng = np.random.RandomState(0)
     if kind == 'edvr':
         batch_d = {'lq': rng.rand(batch, frames, lr_size, lr_size, 3).astype(np.float32),
@@ -113,6 +115,7 @@ def main():
     p.add_argument('--frames', type=int, default=5)
     p.add_argument('--lr-size', type=int, default=64)
     p.add_argument('--iters', type=int, default=5)
+    p.add_argument('--dtype', default=None, choices=[None, 'bfloat16'])
     args = p.parse_args()
 
     import jax
@@ -120,7 +123,7 @@ def main():
            'platform': jax.default_backend()}
     kinds = ['edvr', 'basicvsr'] if args.model == 'both' else [args.model]
     for kind in kinds:
-        out[kind] = bench(kind, args.batch, args.frames, args.lr_size, args.iters)
+        out[kind] = bench(kind, args.batch, args.frames, args.lr_size, args.iters, args.dtype)
     out['value'] = out[kinds[0]]['step_ms']
     print(json.dumps(out))
 
