@@ -138,21 +138,29 @@ _BP = 128  # pixels per tile (sublane-major in every block)
 
 def _dcn_pallas_fwd_kernel(k2: int, cpg: int):
     def kernel(x_ref, pos_ref, out_ref):
-        x = x_ref[0].astype(jnp.float32)                     # (HP, WC)
+        x = x_ref[0]                                         # (HP, WC)
+        # bf16 inputs keep the hat matmuls in bf16 (f32 accumulation): the
+        # MXU runs bf16 at a multiple of the f32 rate and hat weights in
+        # [0, 1] lose only 2^-9 relative — the same rounding every nn.Conv
+        # applies to its inputs under dtype=bfloat16. f32 inputs keep the
+        # exact f32 path (bit-parity with the gather/onehot samplers).
+        mdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+        x = x.astype(mdt)
         hp, wc = x.shape
         h_iota = jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1).astype(jnp.float32)
         w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (_BP, wc), 1)
                      // cpg).astype(jnp.float32)
         # 0/1 fold matrix: lane l contributes to channel l % cpg
         sfold = (jax.lax.broadcasted_iota(jnp.int32, (wc, cpg), 0) % cpg ==
-                 jax.lax.broadcasted_iota(jnp.int32, (wc, cpg), 1)).astype(jnp.float32)
+                 jax.lax.broadcasted_iota(jnp.int32, (wc, cpg), 1)).astype(mdt)
         for k in range(k2):
             pyy = pos_ref[0, :, 2 * k:2 * k + 1].astype(jnp.float32)      # (BP, 1)
             pxx = pos_ref[0, :, 2 * k + 1:2 * k + 2].astype(jnp.float32)
             r = jnp.maximum(0., 1. - jnp.abs(h_iota - pyy))               # (BP, HP)
-            t = jnp.dot(r, x, preferred_element_type=jnp.float32)         # (BP, WC)
+            t = jnp.dot(r.astype(mdt), x, preferred_element_type=jnp.float32)
             cw = jnp.maximum(0., 1. - jnp.abs(w_of_lane - pxx))
-            tap = jnp.dot(t * cw, sfold, preferred_element_type=jnp.float32)
+            tap = jnp.dot((t * cw).astype(mdt), sfold,
+                          preferred_element_type=jnp.float32)
             out_ref[0, k] = tap.T.astype(out_ref.dtype)                   # (cpg, BP)
 
     return kernel
@@ -162,29 +170,33 @@ def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int):
     from jax.experimental import pallas as pl
 
     def kernel(x_ref, xt_ref, pos_ref, g_ref, dx_ref, dpos_ref):
-        x = x_ref[0].astype(jnp.float32)                     # (HP, WC)
-        xt = xt_ref[0].astype(jnp.float32)                   # (WC, HP)
+        # same bf16-matmul convention as the forward kernel (gradients
+        # accumulate in f32 output blocks either way)
+        mdt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
+        x = x_ref[0].astype(mdt)                             # (HP, WC)
+        xt = xt_ref[0].astype(mdt)                           # (WC, HP)
         hp, wc = x.shape
         h_iota = jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1).astype(jnp.float32)
         w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (_BP, wc), 1)
                      // cpg).astype(jnp.float32)
         sfold_t = (jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 1) % cpg ==
-                   jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 0)).astype(jnp.float32)
+                   jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 0)).astype(mdt)
         dx_acc = jnp.zeros((hp, wc), jnp.float32)
         for k in range(k2):
             pyy = pos_ref[0, :, 2 * k:2 * k + 1].astype(jnp.float32)
             pxx = pos_ref[0, :, 2 * k + 1:2 * k + 2].astype(jnp.float32)
             dy = h_iota - pyy
-            r = jnp.maximum(0., 1. - jnp.abs(dy))                         # (BP, HP)
+            r = jnp.maximum(0., 1. - jnp.abs(dy)).astype(mdt)             # (BP, HP)
             t = jnp.dot(r, x, preferred_element_type=jnp.float32)         # (BP, WC)
             dw = w_of_lane - pxx
             cw = jnp.maximum(0., 1. - jnp.abs(dw))
-            dtap = g_ref[0, k].astype(jnp.float32).T                      # (BP, cpg)
+            dtap = g_ref[0, k].astype(mdt).T                              # (BP, cpg)
             dprod = jnp.dot(dtap, sfold_t, preferred_element_type=jnp.float32)  # (BP, WC)
             dt = dprod * cw
             dcw = dprod * t
-            dx_acc = dx_acc + jnp.dot(r.T, dt, preferred_element_type=jnp.float32)
-            dr = jnp.dot(dt, xt, preferred_element_type=jnp.float32)      # (BP, HP)
+            dx_acc = dx_acc + jnp.dot(r.T, dt.astype(mdt),
+                                      preferred_element_type=jnp.float32)
+            dr = jnp.dot(dt.astype(mdt), xt, preferred_element_type=jnp.float32)  # (BP, HP)
             # d hat(d)/d pos, FLOOR convention: one-sided at integer
             # positions so the gradient matches the gather/onehot bilinear
             # paths (d out/d p = v[floor(p)+1] - v[floor(p)]). The naive
@@ -308,6 +320,50 @@ def _sample_all_pallas_bwd(interpret, res, grad):
 
 
 _sample_all_pallas.defvjp(_sample_all_pallas_fwd, _sample_all_pallas_bwd)
+
+
+def bilinear_warp(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
+                  border: bool = False) -> Optional[jnp.ndarray]:
+    """Dense bilinear warp via the fused Pallas hat-function sampler — the
+    TPU fast path for ``arch_util.flow_warp`` (one tap, deform-group = the
+    whole channel dim). XLA lowers ``lax.gather`` near-serially on TPU and
+    its backward is a scatter-add (measured 32 ms fwd+bwd per warp at
+    BasicVSR++ train shapes vs ~1 ms here — the single largest cost in the
+    recurrent video train step, reference basicvsrpp_arch.py:186-235).
+
+    Args:
+      x: (N, H, W, C); py/px: (N, H, W) sample positions in unpadded coords.
+      border: clamp-to-edge semantics instead of zeros.
+    Returns (N, H, W, C), or None when this path cannot run (not on TPU,
+    slab exceeds VMEM, or unshardable mesh geometry) — caller falls back.
+    """
+    from . import dispatch
+    interpret = dispatch.interpret_forced()
+    if not interpret and jax.default_backend() != 'tpu':
+        return None
+    n, h, w, c = x.shape
+    mesh, mesh_data, mesh_spatial = dispatch.mesh_info()
+    if mesh is not None and not (mesh_spatial == 1 and n % mesh_data == 0):
+        return None
+    # per-map slab must fit VMEM (same budget as the DCN auto dispatch)
+    slab = (-(-(h + 2) // 8) * 8) * (-(-((w + 2) * c) // 128) * 128) * 4
+    if slab > 4 * 1024 * 1024:
+        return None
+    if border:
+        py = jnp.clip(py, 0., h - 1.)
+        px = jnp.clip(px, 0., w - 1.)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pos = jnp.stack([py + 1., px + 1.], axis=-1).reshape(n, h * w, 2)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        fn = dispatch.shard_wrap(
+            lambda a, p: _sample_all_pallas(a, p, interpret), mesh,
+            in_specs=(P('data'), P('data')), out_specs=P('data'))
+        out = fn(xp, pos.astype(jnp.float32))
+    else:
+        out = _sample_all_pallas(xp, pos.astype(jnp.float32), interpret)
+    # (N, 1, C, P) -> (N, H, W, C)
+    return out[:, 0].transpose(0, 2, 1).reshape(n, h, w, c)
 
 
 def modulated_deform_conv(x: jnp.ndarray,
