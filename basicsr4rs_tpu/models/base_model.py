@@ -27,7 +27,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from ..parallel.mesh import create_mesh, replicate, shard_batch
-from ..utils.dist_util import get_dist_info, master_only
+from ..utils.dist_util import get_dist_info, is_master as dist_util_is_master
 from ..utils.logger import get_root_logger
 from .lr_scheduler import build_schedule
 
@@ -215,11 +215,21 @@ class BaseModel:
     def _ckpt_dir(self, label: str, current_iter) -> str:
         return osp.join(self.opt['path']['models'], f'net_{label}_{current_iter}')
 
-    @master_only
+    @staticmethod
+    def _skip_nonmaster_save() -> bool:
+        """The reference master-gates ``torch.save`` (base_model.py:212).
+        Orbax saves are COLLECTIVE when ``jax.process_count() > 1`` (every
+        process must enter so its internal cross-process barriers pair up —
+        a rank-0-only call deadlocks; orbax itself writes each array once).
+        Only the single-process fake-dist case keeps the rank gate."""
+        return jax.process_count() == 1 and not dist_util_is_master()
+
     def save_network(self, params_dict: Dict[str, Any], label: str, current_iter):
         """Save network params. ``params_dict`` maps param-key -> pytree,
         e.g. {'params': ..., 'params_ema': ...} (reference base_model.py:212-256,
         retry x3)."""
+        if self._skip_nonmaster_save():
+            return
         if current_iter == -1:
             current_iter = 'latest'
         save_path = self._ckpt_dir(label, current_iter)
@@ -264,10 +274,10 @@ class BaseModel:
             tree = _match_tree(tree, template, strict=strict)
         return tree
 
-    @master_only
     def save_training_state(self, epoch: int, current_iter: int, state_extra: Dict[str, Any]):
-        """Save resume state (reference base_model.py:321-358)."""
-        if current_iter == -1:
+        """Save resume state (reference base_model.py:321-358). Collective
+        under multi-process jax — see ``_skip_nonmaster_save``."""
+        if current_iter == -1 or self._skip_nonmaster_save():
             return
         import orbax.checkpoint as ocp
         state = {'epoch': epoch, 'iter': current_iter, **state_extra}

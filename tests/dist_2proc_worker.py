@@ -109,6 +109,49 @@ def main():
     model.optimize_parameters(2)
     out['l_pix2'] = float(model.get_current_log()['l_pix'])
 
+    # --- B2: cross-process checkpoint save/resume round-trip (VERDICT r3 #5;
+    # reference base_model.py:321-374). Rank 0 saves (@master_only) the
+    # step-2 state, a real allgather acts as the barrier, then BOTH ranks
+    # resume a FRESH model from the shared filesystem and the post-resume
+    # trajectory must equal the uninterrupted one bit-for-bit.
+    model.opt['path']['models'] = os.path.join(outdir, 'models')
+    model.opt['path']['training_states'] = os.path.join(outdir, 'states')
+    if rank == 0:
+        os.makedirs(model.opt['path']['models'], exist_ok=True)
+        os.makedirs(model.opt['path']['training_states'], exist_ok=True)
+    model.save(epoch=0, current_iter=2)
+    sum_across_processes(np.ones((1,), np.float32))  # save-visible barrier
+    model.feed_data(local)
+    model.optimize_parameters(3)
+    out['l_pix3_uninterrupted'] = float(model.get_current_log()['l_pix'])
+    model.feed_data(local)
+    model.optimize_parameters(4)
+    out['l_pix4_uninterrupted'] = float(model.get_current_log()['l_pix'])
+
+    model2 = build_model(yaml_load(SR_OPT))
+    model2.opt['path']['models'] = model.opt['path']['models']
+    model2.opt['path']['training_states'] = model.opt['path']['training_states']
+    resume_state = model2.load_training_state(
+        os.path.join(model.opt['path']['training_states'], '2.state'))
+    model2.resume_training(resume_state)
+    out['resumed_step'] = int(model2.current_step())
+    # network checkpoint loads and matches the live params on both ranks
+    net_tree = model2.load_network(
+        os.path.join(model.opt['path']['models'], 'net_g_2'),
+        param_key='params', template=model2.state.params)
+    flat_live = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, model2.state.params))
+    flat_ckpt = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, net_tree))
+    out['net_ckpt_bitexact'] = bool(all(
+        np.array_equal(a, b) for a, b in zip(flat_live, flat_ckpt)))
+    model2.feed_data(local)
+    model2.optimize_parameters(3)
+    out['l_pix3_resumed'] = float(model2.get_current_log()['l_pix'])
+    model2.feed_data(local)
+    model2.optimize_parameters(4)
+    out['l_pix4_resumed'] = float(model2.get_current_log()['l_pix'])
+
     # --- C: folder-strided video dist_validation, real metric merge
     from basicsr4rs_tpu.data import build_dataset
     from basicsr4rs_tpu.models.video_base_model import VideoBaseModel

@@ -122,6 +122,22 @@ def test_global_mesh_train_step_matches_single_process(worker_results):
     assert abs(l1 - l2) > 1e-7
 
 
+def test_cross_process_checkpoint_roundtrip(worker_results):
+    """Rank-0 ``save`` mid-run + both-rank ``resume_training`` from the
+    shared filesystem reproduces the uninterrupted loss trajectory
+    bit-for-bit, and the saved network checkpoint equals the live params
+    (VERDICT r3 #5; reference base_model.py:321-374)."""
+    for r in range(2):
+        res = worker_results[r]
+        assert res['resumed_step'] == 2, f'rank {r} resumed step'
+        assert res['net_ckpt_bitexact'], f'rank {r} network checkpoint'
+        assert res['l_pix3_resumed'] == res['l_pix3_uninterrupted'], f'rank {r} step3'
+        assert res['l_pix4_resumed'] == res['l_pix4_uninterrupted'], f'rank {r} step4'
+    # the trajectory is actually progressing (not a frozen state)
+    assert (worker_results[0]['l_pix3_uninterrupted']
+            != worker_results[0]['l_pix4_uninterrupted'])
+
+
 def test_dist_validation_matches_single_process(worker_results, video_root):
     """Folder-strided validation merged across REAL processes == this
     process's single nondist_validation."""
