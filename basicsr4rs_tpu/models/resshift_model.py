@@ -99,13 +99,22 @@ class ResShiftModel(SRRSModel):
         def train_step(state: TrainState, batch, rng):
             k_t, k_noise, k_loss = jax.random.split(rng, 3)
             bsz = batch['gt'].shape[0]
-            tt = jax.random.randint(k_t, (bsz,), 0, self.base_diffusion.num_timesteps)
+            # tt/noise are sampled per step like the reference
+            # (resshift_model.py:118-133); a batch may carry explicit
+            # 'tt'/'noise' instead — the same injection surface the
+            # reference's training_losses(noise=...) exposes, used by the
+            # torch trajectory-parity test for deterministic replay.
+            tt = batch.get('tt')
+            if tt is None:
+                tt = jax.random.randint(k_t, (bsz,),
+                                        0, self.base_diffusion.num_timesteps)
 
             def loss_fn(params):
                 model = lambda x, t, **kw: unet_apply(params, x, t, batch['lq'])  # noqa: E731
                 loss_dict, z_t, z0_pred = self.base_diffusion.training_losses(
                     k_noise, model, batch['gt'], batch['lq'], tt,
-                    first_stage_model=self.first_stage)
+                    first_stage_model=self.first_stage,
+                    noise=batch.get('noise'))
                 loss = jnp.mean(loss_dict['mse'])
                 return loss, loss_dict
 

@@ -265,6 +265,117 @@ val: {{val_freq: 1000}}
     assert max(deltas) > 0, 'spynet never unfroze'
 
 
+def test_resshift_sgd_trajectory_matches_torch():
+    """Diffusion training-trajectory parity (VERDICT r3 #6b): N SGD steps of
+    ResShift — random per-sample timesteps, injected noise, latents through
+    the FROZEN VQ autoencoder, bicubic LQ upsampling, q_sample and the
+    xstart-MSE objective — must reproduce the reference loss curve
+    (reference resshift_model.py:113-174 + utils/gaussian_diffusion.py:545).
+    tt/noise are drawn once in numpy and injected into both frameworks (the
+    same surface the reference's ``training_losses(noise=...)`` exposes)."""
+    import torch
+
+    STEPS, T = 20, 4
+    ref_gd = load_ref_module('basicsr/utils/gaussian_diffusion.py')
+    ref_unet = load_ref_module('basicsr/archs/unet_arch.py')
+    ref_ae_mod = load_ref_module('basicsr/archs/autoencoder_arch.py')
+
+    unet_kwargs = dict(image_size=16, in_channels=3, model_channels=32,
+                       out_channels=3, num_res_blocks=1,
+                       attention_resolutions=[8], channel_mult=[1, 2],
+                       num_heads=4, swin_embed_dim=32, window_size=4,
+                       cond_lq=True, lq_size=16)
+    ddconfig = dict(ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+                    attn_resolutions=[4], in_channels=3, resolution=16,
+                    z_channels=3, double_z=False, dropout=0.0)
+    diff_kwargs = dict(normalize_input=True, schedule_name='exponential',
+                       sf=4, min_noise_level=0.2, steps=T, kappa=2.0,
+                       etas_end=0.99, schedule_kwargs={'power': 0.3},
+                       predict_type='xstart', timestep_respacing=None,
+                       scale_factor=1.0, latent_flag=True)
+
+    torch.manual_seed(0)
+    net_t = ref_unet.UNetModelSwin(**unet_kwargs).train()
+    ae_t = ref_ae_mod.VQModelTorch(ddconfig=ddconfig, n_embed=16,
+                                   embed_dim=3).eval()
+    for p in ae_t.parameters():
+        p.requires_grad_(False)
+    d_t = ref_gd.create_gaussian_diffusion(**diff_kwargs)
+
+    from basicsr4rs_tpu.archs.autoencoder_arch import VQModelTorch
+    from basicsr4rs_tpu.archs.unet_arch import UNetModelSwin
+    g_params = convert_torch_state_dict(
+        net_t.state_dict(), rules=getattr(UNetModelSwin, 'TORCH_KEY_RULES', None))
+    ae_params = convert_torch_state_dict(ae_t.state_dict(),
+                                         rules=VQModelTorch.TORCH_KEY_RULES)
+
+    opt = yaml_load(f"""
+name: parity_resshift
+model_type: ResShiftModel
+scale: 4
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+network_g: {{type: UNetModelSwin, image_size: 16, in_channels: 3, model_channels: 32,
+            out_channels: 3, num_res_blocks: 1, attention_resolutions: [8],
+            channel_mult: [1, 2], num_heads: 4, swin_embed_dim: 32, window_size: 4,
+            cond_lq: true, lq_size: 16, lq_channels: 3}}
+autoencoder: {{type: VQModelTorch, n_embed: 16, embed_dim: 3,
+              ddconfig: {{ch: 32, out_ch: 3, ch_mult: [1, 2], num_res_blocks: 1,
+                         attn_resolutions: [4], in_channels: 3, resolution: 16,
+                         z_channels: 3, double_z: false}}}}
+diffusion: {{normalize_input: true, schedule_name: exponential, sf: 4,
+            min_noise_level: 0.2, steps: {T}, kappa: 2.0, etas_end: 0.99,
+            schedule_kwargs: {{power: 0.3}}, predict_type: xstart,
+            timestep_respacing: ~, scale_factor: 1.0, latent_flag: true}}
+path: {{pretrain_network_g: ~, pretrain_network_ae: ~}}
+train:
+  ema_decay: 0
+  use_amp: false
+  optim_g: {{type: SGD, lr: !!float {LR}}}
+  scheduler: {{type: ConstantLR}}
+  total_iter: 1000
+val: {{val_freq: 1000}}
+""")
+    model = build_model(opt)
+    model.params = g_params
+    model.first_stage.params = ae_params       # frozen AE, trace-time capture
+    model.setup_optimizers()
+
+    opt_t = torch.optim.SGD(net_t.parameters(), lr=LR)
+
+    rng = np.random.RandomState(23)
+    losses_j, losses_t = [], []
+    for _ in range(STEPS):
+        lq = (rng.rand(2, 8, 8, 3).astype(np.float32) * 2 - 1)
+        gt = (rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+        tt = rng.randint(0, T, size=(2,)).astype(np.int32)
+        noise = rng.randn(2, 16, 16, 3).astype(np.float32)  # latent-shaped
+
+        model.feed_data({'lq': lq, 'gt': gt, 'tt': tt, 'noise': noise})
+        model.optimize_parameters(1)
+        losses_j.append(float(model.get_current_log()['mse']))
+
+        lq_t = torch.from_numpy(np.ascontiguousarray(lq.transpose(0, 3, 1, 2)))
+        gt_t = torch.from_numpy(np.ascontiguousarray(gt.transpose(0, 3, 1, 2)))
+        noise_t = torch.from_numpy(np.ascontiguousarray(noise.transpose(0, 3, 1, 2)))
+        opt_t.zero_grad()
+        loss_dict, _, _ = d_t.training_losses(
+            net_t, gt_t, lq_t, torch.from_numpy(tt).long(),
+            first_stage_model=ae_t, model_kwargs={'lq': lq_t}, noise=noise_t)
+        loss_t = loss_dict['mse'].mean()
+        loss_t.backward()
+        opt_t.step()
+        losses_t.append(float(loss_t.detach()))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-3, atol=1e-4,
+                               err_msg='ResShift SGD loss trajectories diverged')
+    assert abs(losses_t[0] - losses_t[-1]) > 1e-4
+
+
 def test_srgan_gd_cycle_matches_torch():
     """Two full G/D cycles of SRGAN: G gets pixel + GAN loss with D frozen,
     then D trains on real and detached-fake (reference srgan_model.py:85-141
