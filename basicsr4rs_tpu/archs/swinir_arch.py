@@ -229,11 +229,14 @@ class WindowAttention(nn.Module):
         return self.proj_dropout(out, deterministic=deterministic)
 
     def fused_block(self, x, ln_scale, ln_bias, window_size: int, mask=None,
-                    deterministic: bool = True, add_residual: bool = False):
+                    deterministic: bool = True, add_residual: bool = False,
+                    residual_scale=None):
         """The whole attention branch — LN1(x) -> qkv -> W-MSA -> proj — in
         one Pallas call (ops/swin_block.py). x: (B, H, W, C), already
         shifted; the caller adds the residual (and DropPath) unless
-        ``add_residual`` folds it into the kernel (requires proj_drop=0)."""
+        ``add_residual`` folds it into the kernel (requires proj_drop=0).
+        ``residual_scale`` (B,) folds DropPath's per-sample mask/keep:
+        kernel computes x + s*branch."""
         from ..ops.swin_block import fused_swin_attn_block
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
@@ -244,7 +247,8 @@ class WindowAttention(nn.Module):
         bias = self._packed_bias(window_size, mask)
         out = fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                     bproj, bias, window_size, self.num_heads,
-                                    scale, add_residual=add_residual)
+                                    scale, add_residual=add_residual,
+                                    residual_scale=residual_scale)
         return self.proj_dropout(out, deterministic=deterministic)
 
     def fused_joint(self, x, ln1_scale, ln1_bias, ln2_scale, ln2_bias,
@@ -333,6 +337,17 @@ class SwinTransformerBlock(nn.Module):
         # shortcut; roll-back commutes with the addition)
         fold_residual = (fused and self.drop == 0.
                          and (self.drop_path == 0. or deterministic))
+        # Training with stochastic depth: fold DropPath's per-sample
+        # mask/keep scale into the kernels (x + s*branch) — same semantics
+        # as the reference's DropPath(attn)+residual (swinir_arch.py:262),
+        # without the XLA mask-multiply/residual round trips per branch.
+        fold_scaled = (fused and self.drop == 0. and not deterministic
+                       and self.drop_path > 0.)
+        if fold_scaled:
+            keep = 1. - self.drop_path
+            rng1, rng2 = jax.random.split(self.make_rng('dropout'))
+            s1 = jax.random.bernoulli(rng1, keep, (b,)).astype(jnp.float32) / keep
+            s2 = jax.random.bernoulli(rng2, keep, (b,)).astype(jnp.float32) / keep
 
         # Inference: the whole block (attn + MLP, both residuals) in ONE
         # Pallas call — removes the kernel-boundary HBM round trip of the
@@ -354,7 +369,8 @@ class SwinTransformerBlock(nn.Module):
             # whole branch (LN1+qkv+attn+proj) in one Pallas call
             x = attn_mod.fused_block(x, ln_scale, ln_bias, window_size,
                                      mask=mask, deterministic=deterministic,
-                                     add_residual=fold_residual)
+                                     add_residual=fold_residual,
+                                     residual_scale=s1 if fold_scaled else None)
         else:
             x_windows = window_partition(x, window_size).reshape(-1, window_size * window_size, c)
             attn_windows = attn_mod(x_windows, mask=mask, deterministic=deterministic)
@@ -365,7 +381,7 @@ class SwinTransformerBlock(nn.Module):
             x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
         x = x.reshape(b, h * w, c)
 
-        if not fold_residual:
+        if not fold_residual and not fold_scaled:
             x = shortcut + DropPath(self.drop_path)(x, deterministic)
         if fused and self.drop == 0.:
             # LN2+fc1+GELU+fc2 in one Pallas call (ops/mlp_block.py); params
@@ -376,8 +392,10 @@ class SwinTransformerBlock(nn.Module):
             w1, b1, w2, b2 = MlpParams(self.dim, int(self.dim * self.mlp_ratio),
                                        name='mlp')()
             mlp_out = fused_mlp_block(x, ln2_scale, ln2_bias, w1, b1, w2, b2,
-                                      add_residual=fold_residual)
-            if fold_residual:
+                                      add_residual=fold_residual,
+                                      residual_scale=(s2[:, None] if fold_scaled
+                                                      else None))
+            if fold_residual or fold_scaled:
                 return mlp_out
         else:
             mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,

@@ -72,7 +72,13 @@ def _gelu_grad(h):
 
 
 def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    out_ref, *, add_residual):
+                    *rest, add_residual, scaled=False):
+    # scaled=True appends a per-token (tile, 1) residual scale s (DropPath
+    # mask/keep folded into the kernel): out = s*branch + x
+    if scaled:
+        s_ref, out_ref = rest
+    else:
+        out_ref, = rest
     dt = x_ref.dtype
     xf = x_ref[...].astype(jnp.float32)
     xn, _, _ = _ln_forward(xf, lns_ref[0], lnb_ref[0])
@@ -81,16 +87,23 @@ def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = _gelu(h)
     z = jax.lax.dot(h.astype(dt), w2_ref[...],
                     preferred_element_type=jnp.float32) + b2_ref[0]
-    if add_residual:
+    if scaled:
+        z = z * s_ref[...].astype(jnp.float32) + xf
+    elif add_residual:
         z = z + xf
     out_ref[...] = z.astype(out_ref.dtype)
 
 
 def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, dz_ref,
-                    dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
-                    db2_ref, *, add_residual):
+                    *rest, add_residual, scaled=False):
     from jax.experimental import pallas as pl
 
+    if scaled:
+        (s_ref, dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+         db2_ref) = rest
+    else:
+        (dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+         db2_ref) = rest
     dt = x_ref.dtype
 
     @pl.when(pl.program_id(0) == 0)
@@ -110,7 +123,9 @@ def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, dz_ref,
     hpre = jax.lax.dot(xn_dt, w1_ref[...],
                        preferred_element_type=jnp.float32) + b1_ref[0]
     h = _gelu(hpre)
-    dz = dz_ref[...].astype(jnp.float32)
+    dz_res = dz_ref[...].astype(jnp.float32)   # residual cotangent, unscaled
+    # the branch cotangent carries the per-token DropPath scale
+    dz = dz_res * s_ref[...].astype(jnp.float32) if scaled else dz_res
 
     # fc2 backward
     dw2_ref[...] += jax.lax.dot_general(
@@ -139,8 +154,8 @@ def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, dz_ref,
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx = inv * (dxhat - m1 - xhat * m2)
-    if add_residual:
-        dx = dx + dz
+    if add_residual or scaled:
+        dx = dx + dz_res
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
@@ -165,7 +180,8 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda *_: (0,) * len(shape))
 
 
-def _mlp_forward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, b2):
+def _mlp_forward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2,
+                 b2, s2=None):
     from jax.experimental import pallas as pl
 
     from jax.experimental.pallas import tpu as pltpu
@@ -173,25 +189,33 @@ def _mlp_forward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, b2)
     t, c = x2.shape
     hidden = w1.shape[1]
     tile = _token_tile(t, c, hidden, bwd=False)
+    scaled = s2 is not None
+    in_specs = [
+        pl.BlockSpec((tile, c), lambda i: (i, 0)),
+        _const_spec((1, c)), _const_spec((1, c)),
+        _const_spec((c, hidden)), _const_spec((1, hidden)),
+        _const_spec((hidden, c)), _const_spec((1, c)),
+    ]
+    args = [x2, ln_scale[None], ln_bias[None], w1.astype(x2.dtype), b1[None],
+            w2.astype(x2.dtype), b2[None]]
+    if scaled:
+        in_specs.append(pl.BlockSpec((tile, 1), lambda i: (i, 0)))
+        args.append(s2)
     return pl.pallas_call(
-        functools.partial(_mlp_fwd_kernel, add_residual=add_residual),
+        functools.partial(_mlp_fwd_kernel, add_residual=add_residual,
+                          scaled=scaled),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
         grid=(t // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, c), lambda i: (i, 0)),
-            _const_spec((1, c)), _const_spec((1, c)),
-            _const_spec((c, hidden)), _const_spec((1, hidden)),
-            _const_spec((hidden, c)), _const_spec((1, c)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel',)),
         interpret=interpret,
-    )(x2, ln_scale[None], ln_bias[None], w1.astype(x2.dtype), b1[None],
-      w2.astype(x2.dtype), b2[None])
+    )(*args)
 
 
-def _mlp_backward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, dz2):
+def _mlp_backward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2,
+                  dz2, s2=None):
     from jax.experimental import pallas as pl
 
     t, c = x2.shape
@@ -199,8 +223,22 @@ def _mlp_backward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, dz
     tile = _token_tile(t, c, hidden, bwd=True)
     f32 = jnp.float32
     tok = pl.BlockSpec((tile, c), lambda i: (i, 0))
+    scaled = s2 is not None
+    in_specs = [
+        tok,
+        _const_spec((1, c)), _const_spec((1, c)),
+        _const_spec((c, hidden)), _const_spec((1, hidden)),
+        _const_spec((hidden, c)),
+        tok,
+    ]
+    args = [x2, ln_scale[None], ln_bias[None], w1.astype(x2.dtype), b1[None],
+            w2.astype(x2.dtype), dz2]
+    if scaled:
+        in_specs.append(pl.BlockSpec((tile, 1), lambda i: (i, 0)))
+        args.append(s2)
     dx, dlns, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, add_residual=add_residual),
+        functools.partial(_mlp_bwd_kernel, add_residual=add_residual,
+                          scaled=scaled),
         out_shape=(jax.ShapeDtypeStruct(x2.shape, x2.dtype),
                    jax.ShapeDtypeStruct((1, c), f32),
                    jax.ShapeDtypeStruct((1, c), f32),
@@ -209,20 +247,13 @@ def _mlp_backward(interpret, add_residual, x2, ln_scale, ln_bias, w1, b1, w2, dz
                    jax.ShapeDtypeStruct((hidden, c), f32),
                    jax.ShapeDtypeStruct((1, c), f32)),
         grid=(t // tile,),
-        in_specs=[
-            tok,
-            _const_spec((1, c)), _const_spec((1, c)),
-            _const_spec((c, hidden)), _const_spec((1, hidden)),
-            _const_spec((hidden, c)),
-            tok,
-        ],
+        in_specs=in_specs,
         out_specs=(tok,
                    _const_spec((1, c)), _const_spec((1, c)),
                    _const_spec((c, hidden)), _const_spec((1, hidden)),
                    _const_spec((hidden, c)), _const_spec((1, c))),
         interpret=interpret,
-    )(x2, ln_scale[None], ln_bias[None], w1.astype(x2.dtype), b1[None],
-      w2.astype(x2.dtype), dz2)
+    )(*args)
     return dx, dlns[0], dlnb[0], dw1.astype(w1.dtype), db1[0], dw2.astype(w2.dtype), db2[0]
 
 
@@ -249,20 +280,54 @@ def _mlp_vjp_bwd(interpret, add_residual, res, dz):
 _mlp_vjp.defvjp(_mlp_vjp_fwd, _mlp_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mlp_scaled_vjp(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2, s2):
+    """x + s2 * mlp_branch(x) with the per-token DropPath scale s2 (T, 1)
+    folded into the kernels. s2 is a random mask — its cotangent is zero."""
+    return _mlp_forward(interpret, False, x2, ln_scale, ln_bias, w1, b1, w2,
+                        b2, s2=s2)
+
+
+def _mlp_scaled_fwd(interpret, x2, ln_scale, ln_bias, w1, b1, w2, b2, s2):
+    out = _mlp_forward(interpret, False, x2, ln_scale, ln_bias, w1, b1, w2,
+                       b2, s2=s2)
+    return out, (x2, ln_scale, ln_bias, w1, b1, w2, s2)
+
+
+def _mlp_scaled_bwd(interpret, res, dz):
+    x2, ln_scale, ln_bias, w1, b1, w2, s2 = res
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = _mlp_backward(
+        interpret, False, x2, ln_scale, ln_bias, w1, b1, w2,
+        dz.astype(x2.dtype), s2=s2)
+    return dx, dlns, dlnb, dw1, db1, dw2, db2, jnp.zeros_like(s2)
+
+
+_mlp_scaled_vjp.defvjp(_mlp_scaled_fwd, _mlp_scaled_bwd)
+
+
 def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
-                    interpret: bool = False, add_residual: bool = False):
+                    interpret: bool = False, add_residual: bool = False,
+                    residual_scale=None):
     """Fused LN+fc1+GELU+fc2 branch; XLA fallback off-TPU.
 
     Args:
       x: (..., C) tokens (any leading shape).
       ln_scale, ln_bias: (C,) LayerNorm affine.
       w1: (C, hidden); b1: (hidden,); w2: (hidden, C); b2: (C,).
-    Returns: same shape as x — the MLP branch WITHOUT the residual.
+      residual_scale: optional DropPath scale (mask/keep), broadcastable to
+        x.shape[:-1] — folds ``x + s*branch`` into the kernel (training
+        stochastic depth without the XLA mask/residual round trips).
+    Returns: same shape as x — the MLP branch WITHOUT the residual (with it
+      when ``add_residual`` or ``residual_scale``).
     """
     from . import dispatch
     interpret = interpret or dispatch.interpret_forced()
+    if residual_scale is not None:
+        s_full = jnp.broadcast_to(residual_scale, x.shape[:-1]).astype(jnp.float32)
     if not interpret and jax.default_backend() not in ('tpu',):
         out = reference_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
+        if residual_scale is not None:
+            return x + out * s_full[..., None].astype(x.dtype)
         return x + out if add_residual else out
     shape = x.shape
     c = shape[-1]
@@ -282,8 +347,21 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
             # un-shardable geometry (val batches of 1, odd shapes): the XLA
             # reference partitions cleanly
             out = reference_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
+            if residual_scale is not None:
+                return x + out * s_full[..., None].astype(x.dtype)
             return x + out if add_residual else out
         spec = P('data', 'spatial') if spatial > 1 else P('data')
+
+        if residual_scale is not None:
+            def core(xl, sl, lns, lnb, w1_, b1_, w2_, b2_):
+                out = _mlp_scaled_vjp(interpret, xl.reshape(-1, c), lns, lnb,
+                                      w1_, b1_, w2_, b2_, sl.reshape(-1, 1))
+                return out.reshape(xl.shape)
+
+            fn = dispatch.shard_wrap(core, mesh,
+                                     in_specs=(spec, spec) + (P(),) * 6,
+                                     out_specs=spec)
+            return fn(x, s_full, *args)
 
         def core(xl, lns, lnb, w1_, b1_, w2_, b2_):
             out = _mlp_vjp(interpret, add_residual, xl.reshape(-1, c), lns,
@@ -302,5 +380,8 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
         raise ValueError(
             f'fused_mlp_block: flattened token count {x2.shape[0]} must be a '
             'multiple of 8 (pad the token dim or use reference_mlp_block)')
+    if residual_scale is not None:
+        out = _mlp_scaled_vjp(interpret, x2, *args, s_full.reshape(-1, 1))
+        return out.reshape(shape)
     out = _mlp_vjp(interpret, add_residual, x2, *args)
     return out.reshape(shape)

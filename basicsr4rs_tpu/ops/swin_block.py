@@ -210,8 +210,18 @@ def _attention_heads_looped(qkv3, bias_arr, num_heads, c, scale, out_dtype):
 
 
 def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                      bproj_ref, bias_ref, out_ref, *, ws, num_heads, c,
-                      catt, scale, broadcast_bias, pack, add_residual, rows=1):
+                      bproj_ref, bias_ref, *rest, ws, num_heads, c,
+                      catt, scale, broadcast_bias, pack, add_residual, rows=1,
+                      scaled=False):
+    # scaled=True appends a per-batch residual scale s (DropPath mask/keep,
+    # full (B, 1) block — TPU lowering rejects (1, 1) blocks — indexed by
+    # the batch grid position): out = s*branch + x
+    if scaled:
+        from jax.experimental import pallas as pl
+        s_ref, out_ref = rest
+        s = s_ref[pl.program_id(0), 0].astype(jnp.float32)
+    else:
+        out_ref, = rest
     xall = x_ref[0]                            # (rows*ws, CW, C)
     cw = xall.shape[1]
     nw = cw // ws
@@ -232,7 +242,9 @@ def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                              num_heads, catt, scale, broadcast_bias, dt)
         z = jax.lax.dot(a.reshape(ng * pn, catt).astype(dt), wproj_ref[...],
                         preferred_element_type=jnp.float32) + bproj_ref[0]
-        if add_residual:
+        if scaled:
+            z = z * s + xw.astype(jnp.float32)
+        elif add_residual:
             # the kernel input IS the (rolled) shortcut, so the residual add
             # is free here; roll-back outside commutes with the addition
             z = z + xw.astype(jnp.float32)
@@ -283,12 +295,17 @@ def _joint_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 
 def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                      bias_ref, dz_ref,
-                      dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
-                      dwproj_ref, dbproj_ref, dbias_ref, *, ws, num_heads, c,
-                      catt, scale, broadcast_bias, pack, add_residual):
+                      bias_ref, dz_ref, *rest, ws, num_heads, c,
+                      catt, scale, broadcast_bias, pack, add_residual,
+                      scaled=False):
     from jax.experimental import pallas as pl
 
+    if scaled:
+        (s_ref, dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+         dwproj_ref, dbproj_ref, dbias_ref) = rest
+    else:
+        (dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+         dwproj_ref, dbproj_ref, dbias_ref) = rest
     x = x_ref[0]                               # (ws, CW, C)
     dz = dz_ref[0]
     cw = x.shape[1]
@@ -330,7 +347,11 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                        preferred_element_type=jnp.float32) + bqkv_ref[0])
     qkv3 = qkv.astype(dt).reshape(ng, pn, 3 * catt)
 
-    dz_w = _window_pack(dz, ws, nw, pack, c).astype(jnp.float32)   # (T, C)
+    dz_res = _window_pack(dz, ws, nw, pack, c).astype(jnp.float32)  # (T, C)
+    # the branch cotangent carries the per-sample DropPath scale; the
+    # residual cotangent dz_res stays unscaled
+    dz_w = (dz_res * s_ref[pl.program_id(2), 0].astype(jnp.float32)
+            if scaled else dz_res)
 
     # ---- proj backward (needs the recomputed attention output)
     a = _attention_heads(qkv3, bias_ref[...], num_heads, catt, scale,
@@ -394,15 +415,16 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx = inv * (dxhat - m1 - xhat * m2)
-    if add_residual:
-        dx = dx + dz_w
+    if add_residual or scaled:
+        dx = dx + dz_res
     dx_ref[0] = _window_unpack(dx.astype(dx_ref.dtype), ws, nw, cw, c)
 
 
 # ------------------------------------------------------------- dispatch
 def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                           bias, window_size: int, num_heads: int, scale: float,
-                          interpret: bool = False, add_residual: bool = False):
+                          interpret: bool = False, add_residual: bool = False,
+                          residual_scale=None):
     """Fused LN1+qkv+window-attention+proj branch; XLA fallback off-TPU.
 
     Args:
@@ -410,15 +432,25 @@ def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
       ln_scale, ln_bias: (C,) LayerNorm affine.
       wqkv: (C, 3C); bqkv: (3C,); wproj: (C, C); bproj: (C,).
       bias: (nWb, heads, n, n) rel-pos bias (+ shift mask), nWb in {1, nW}.
-    Returns: (B, H, W, C) — the attention branch WITHOUT the residual.
+      residual_scale: optional per-sample (B,) DropPath scale (mask/keep) —
+        folds ``x + s*branch`` into the kernel (training stochastic depth
+        without the XLA mask/residual round trips).
+    Returns: (B, H, W, C) — the attention branch WITHOUT the residual (with
+      it when ``add_residual`` or ``residual_scale``).
     """
     from . import dispatch
     interpret = interpret or dispatch.interpret_forced()
-    if not interpret and jax.default_backend() not in ('tpu',):
-        out = reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
+
+    def _reference(xx):
+        out = reference_swin_attn_block(xx, ln_scale, ln_bias, wqkv, bqkv,
                                         wproj, bproj, bias, window_size,
                                         num_heads, scale)
-        return x + out if add_residual else out
+        if residual_scale is not None:
+            return xx + out * residual_scale[:, None, None, None].astype(xx.dtype)
+        return xx + out if add_residual else out
+
+    if not interpret and jax.default_backend() not in ('tpu',):
+        return _reference(x)
     args = (x, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
             wqkv, bqkv.astype(jnp.float32), wproj, bproj.astype(jnp.float32),
             bias.astype(jnp.float32))
@@ -433,11 +465,16 @@ def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         specs = dispatch.window_shard_specs(data, spatial, b, h, w,
                                             window_size, nwb)
         if specs is None:
-            out = reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
-                                            wproj, bproj, bias, window_size,
-                                            num_heads, scale)
-            return x + out if add_residual else out
+            return _reference(x)
         xspec, bias_spec = specs
+        if residual_scale is not None:
+            core = functools.partial(_fused_block_scaled_vjp, window_size,
+                                     num_heads, scale, interpret)
+            fn = dispatch.shard_wrap(
+                core, mesh,
+                in_specs=(xspec,) + (P(),) * 6 + (bias_spec, P('data')),
+                out_specs=xspec)
+            return fn(*args, residual_scale.astype(jnp.float32))
         core = functools.partial(_fused_block_vjp, window_size, num_heads,
                                  scale, interpret, add_residual)
         fn = dispatch.shard_wrap(
@@ -445,6 +482,10 @@ def fused_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             out_specs=xspec)
         return fn(*args)
 
+    if residual_scale is not None:
+        return _fused_block_scaled_vjp(window_size, num_heads, scale,
+                                       interpret, *args,
+                                       residual_scale.astype(jnp.float32))
     return _fused_block_vjp(window_size, num_heads, scale, interpret,
                             add_residual, *args)
 
@@ -524,7 +565,7 @@ def _row_batch(w_chunks, h, ws, cw, c, num_heads, pn, hidden=0):
 
 def _fused_block_forward(window_size, num_heads, scale, interpret,
                          add_residual, x, ln_scale, ln_bias, wqkv, bqkv,
-                         wproj, bproj, bias):
+                         wproj, bproj, bias, s=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -548,18 +589,25 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
     kernel = functools.partial(_block_fwd_kernel, ws=ws, num_heads=num_heads,
                                c=c, catt=catt, scale=scale,
                                broadcast_bias=broadcast_bias,
-                               pack=pack, add_residual=add_residual, rows=rows)
+                               pack=pack, add_residual=add_residual, rows=rows,
+                               scaled=s is not None)
+    in_specs = [
+        pl.BlockSpec((1, rows * ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
+        _const_spec((1, c)), _const_spec((1, c)),
+        _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
+        _const_spec((catt, c)), _const_spec((1, c)),
+        bias_spec,
+    ]
+    args = [x, ln_scale[None], ln_bias[None], wqkv.astype(x.dtype), bqkv[None],
+            wproj.astype(x.dtype), bproj[None], bias_p]
+    if s is not None:
+        in_specs.append(pl.BlockSpec((b, 1), lambda bi, j, wc: (0, 0)))
+        args.append(s.reshape(-1, 1).astype(jnp.float32))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, h // (ws * rows), w_chunks),
-        in_specs=[
-            pl.BlockSpec((1, rows * ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
-            _const_spec((1, c)), _const_spec((1, c)),
-            _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
-            _const_spec((catt, c)), _const_spec((1, c)),
-            bias_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows * ws, cw, c),
                                lambda bi, j, wc: (bi, j, wc, 0)),
         # every forward grid cell is independent — let Mosaic reorder and
@@ -567,13 +615,12 @@ def _fused_block_forward(window_size, num_heads, scale, interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'parallel')),
         interpret=interpret,
-    )(x, ln_scale[None], ln_bias[None], wqkv.astype(x.dtype), bqkv[None],
-      wproj.astype(x.dtype), bproj[None], bias_p)
+    )(*args)
 
 
 def _fused_block_backward(window_size, num_heads, scale, interpret,
                           add_residual, x, ln_scale, ln_bias, wqkv, bqkv,
-                          wproj, bias, dz):
+                          wproj, bias, dz, s=None):
     from jax.experimental import pallas as pl
 
     b, h, w, c, ws, n, pack, cw = _geometry(x, window_size, num_heads)
@@ -592,9 +639,23 @@ def _fused_block_backward(window_size, num_heads, scale, interpret,
     kernel = functools.partial(_block_bwd_kernel, ws=ws, num_heads=num_heads,
                                c=c, catt=catt, scale=scale,
                                broadcast_bias=broadcast_bias,
-                               pack=pack, add_residual=add_residual)
+                               pack=pack, add_residual=add_residual,
+                               scaled=s is not None)
     strip = pl.BlockSpec((1, ws, cw, c), lambda j, wc, bi: (bi, j, wc, 0))
     f32 = jnp.float32
+    in_specs = [
+        strip,
+        _const_spec((1, c)), _const_spec((1, c)),
+        _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
+        _const_spec((catt, c)),
+        bias_spec,
+        strip,
+    ]
+    args = [x, ln_scale[None], ln_bias[None], wqkv.astype(x.dtype), bqkv[None],
+            wproj.astype(x.dtype), bias_p, dz]
+    if s is not None:
+        in_specs.append(pl.BlockSpec((b, 1), lambda j, wc, bi: (0, 0)))
+        args.append(s.reshape(-1, 1).astype(jnp.float32))
     dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias_p = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -606,22 +667,14 @@ def _fused_block_backward(window_size, num_heads, scale, interpret,
                    jax.ShapeDtypeStruct((1, c), f32),
                    jax.ShapeDtypeStruct(bias_p.shape, f32)),
         grid=(h // ws, w_chunks, b),
-        in_specs=[
-            strip,
-            _const_spec((1, c)), _const_spec((1, c)),
-            _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
-            _const_spec((catt, c)),
-            bias_spec,
-            strip,
-        ],
+        in_specs=in_specs,
         out_specs=(strip,
                    _const_spec((1, c)), _const_spec((1, c)),
                    _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
                    _const_spec((catt, c)), _const_spec((1, c)),
                    bias_spec),
         interpret=interpret,
-    )(x, ln_scale[None], ln_bias[None], wqkv.astype(x.dtype), bqkv[None],
-      wproj.astype(x.dtype), bias_p, dz)
+    )(*args)
     if hdp != hd:
         # drop the zero-lane padding from the weight cotangents
         dwqkv = dwqkv.reshape(c, 3, num_heads, hdp)[..., :hd].reshape(c, 3 * c)
@@ -657,6 +710,38 @@ def _vjp_bwd(window_size, num_heads, scale, interpret, add_residual, res, dz):
 
 
 _fused_block_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_block_scaled_vjp(window_size, num_heads, scale, interpret, x,
+                            ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                            bias, s):
+    """x + s * attn_branch(x) with the per-sample DropPath scale s (B,)
+    folded into the kernels. s is a random mask — zero cotangent."""
+    return _fused_block_forward(window_size, num_heads, scale, interpret,
+                                False, x, ln_scale, ln_bias, wqkv, bqkv,
+                                wproj, bproj, bias, s=s)
+
+
+def _scaled_vjp_fwd(window_size, num_heads, scale, interpret, x, ln_scale,
+                    ln_bias, wqkv, bqkv, wproj, bproj, bias, s):
+    out = _fused_block_forward(window_size, num_heads, scale, interpret,
+                               False, x, ln_scale, ln_bias, wqkv, bqkv,
+                               wproj, bproj, bias, s=s)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bias, s)
+
+
+def _scaled_vjp_bwd(window_size, num_heads, scale, interpret, res, dz):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bias, s = res
+    dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias = \
+        _fused_block_backward(window_size, num_heads, scale, interpret,
+                              False, x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                              bias, dz.astype(x.dtype), s=s)
+    return (dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias,
+            jnp.zeros_like(s))
+
+
+_fused_block_scaled_vjp.defvjp(_scaled_vjp_fwd, _scaled_vjp_bwd)
 
 
 # --------------------------------------------------- joint attn+MLP block
@@ -765,6 +850,7 @@ def fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
     Mlp with residual adds). Returns (B, H, W, C), same dtype as x."""
     from . import dispatch
     interpret = interpret or dispatch.interpret_forced()
+    joint_fn = _fused_joint_vjp
     args = (x, ln1_scale.astype(jnp.float32), ln1_bias.astype(jnp.float32),
             wqkv, bqkv.astype(jnp.float32), wproj, bproj.astype(jnp.float32),
             bias.astype(jnp.float32),
@@ -793,7 +879,7 @@ def fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
         if specs is None:
             return _reference(x)
         xspec, bias_spec = specs
-        core = functools.partial(_fused_joint_vjp, window_size, num_heads,
+        core = functools.partial(joint_fn, window_size, num_heads,
                                  scale, interpret)
         fn = dispatch.shard_wrap(
             core, mesh,
@@ -801,4 +887,4 @@ def fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
             out_specs=xspec)
         return fn(*args)
 
-    return _fused_joint_vjp(window_size, num_heads, scale, interpret, *args)
+    return joint_fn(window_size, num_heads, scale, interpret, *args)

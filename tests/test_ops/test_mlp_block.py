@@ -109,3 +109,43 @@ def test_multi_tile_grid():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_residual_scale_mode():
+    """x + s*branch with a per-token DropPath scale folded into the kernel —
+    values AND grads vs the composed reference, including dropped samples."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    b, l, c, hidden = 2, 64, 16, 32
+    x = jnp.asarray(rng.randn(b, l, c).astype(np.float32))
+    lns = jnp.asarray(1 + 0.1 * rng.randn(c).astype(np.float32))
+    lnb = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(c, hidden).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(0.1 * rng.randn(hidden).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(hidden, c).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    s = jnp.asarray(np.array([0.0, 1.0 / 0.9], np.float32))[:, None]  # (b, 1)
+
+    def fused(*a):
+        return fused_mlp_block(*a, interpret=True, residual_scale=s)
+
+    def ref(*a):
+        out = reference_mlp_block(*a)
+        return a[0] + out * s[..., None]
+
+    args = (x, lns, lnb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(fused(*args)),
+                               np.asarray(ref(*args)), atol=2e-5, rtol=1e-4)
+
+    def loss(f):
+        def inner(*a):
+            out = f(*a)
+            return jnp.sum(out * jnp.sin(out))
+        return inner
+
+    g_f = jax.grad(loss(fused), argnums=tuple(range(7)))(*args)
+    g_r = jax.grad(loss(ref), argnums=tuple(range(7)))(*args)
+    for i, (a, bb) in enumerate(zip(g_f, g_r)):
+        a, bb = np.asarray(a), np.asarray(bb)
+        denom = np.abs(bb).max() + 1e-6
+        assert np.abs(a - bb).max() / denom < 2e-4, f'arg {i}'

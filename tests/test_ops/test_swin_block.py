@@ -196,3 +196,37 @@ def test_row_batching_parity(budget_mb, monkeypatch):
     got_j = fused_swin_block_full(*jargs, 4, 2, 0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(got_j), np.asarray(want_j),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_residual_scale_mode():
+    """x + s*branch with a per-sample DropPath scale folded into the kernel
+    (training stochastic depth) — values AND grads vs the composed
+    reference, including s=0 samples (fully dropped path)."""
+    kw = _case(seed=21)
+    args = [kw[k] for k in ARGNAMES]
+    s = jnp.asarray(np.array([0.0, 1.0 / 0.9], np.float32))  # drop, keep
+
+    def fused(*a):
+        return fused_swin_attn_block(*a, 4, 3, 0.37, interpret=True,
+                                     residual_scale=s)
+
+    def ref(*a):
+        out = reference_swin_attn_block(*a, 4, 3, 0.37)
+        return a[0] + out * s[:, None, None, None]
+
+    np.testing.assert_allclose(np.asarray(fused(*args)),
+                               np.asarray(ref(*args)), atol=2e-5, rtol=1e-4)
+
+    def loss(f):
+        def inner(*a):
+            out = f(*a)
+            return jnp.sum(out * jnp.sin(out))
+        return inner
+
+    g_f = jax.grad(loss(fused), argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(loss(ref), argnums=tuple(range(8)))(*args)
+    for name, a, b in zip(ARGNAMES, g_f, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max() + 1e-6
+        assert np.abs(a - b).max() / denom < 2e-4, name
+
