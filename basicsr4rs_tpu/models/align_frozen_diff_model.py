@@ -17,7 +17,7 @@ from ..parallel.mesh import shard_batch
 from ..utils.gaussian_diffusion_align import create_gaussian_diffusion_align
 from ..utils.registry import MODEL_REGISTRY
 from .align_single_model import _center_crop_to
-from .base_model import TrainState, ema_update
+from .base_model import TrainState, ema_update, jit_init
 from .srrs_l2s_model import L2SSingleModel
 
 
@@ -61,7 +61,7 @@ class AlignFrozenDiffModel(L2SSingleModel):
         self.autoencoder = build_network(ae_opt)
         self.rng, ae_rng = jax.random.split(self.rng)
         in_ch = ae_opt.get('num_in_ch', 12)
-        ae_params = self.autoencoder.init(ae_rng, jnp.zeros((1, 24, 24, in_ch)))['params']
+        ae_params = jit_init(self.autoencoder.init)(ae_rng, jnp.zeros((1, 24, 24, in_ch)))['params']
         load_path_ae = self.opt['path'].get('pretrain_network_ae')
         if load_path_ae is not None:
             ae_params = self.load_network(load_path_ae, 'params', True, template=ae_params)

@@ -23,7 +23,7 @@ from ..archs import build_network
 from ..utils.gaussian_diffusion import create_gaussian_diffusion
 from ..utils.logger import get_root_logger
 from ..utils.registry import MODEL_REGISTRY
-from .base_model import TrainState, ema_update
+from .base_model import TrainState, ema_update, jit_init
 from .srrs_model import SRRSModel
 
 
@@ -55,7 +55,7 @@ class ResShiftModel(SRRSModel):
             self.rng, ae_rng = jax.random.split(self.rng)
             in_ch = ae_opt.get('ddconfig', {}).get('in_channels', 3)
             res = ae_opt.get('ddconfig', {}).get('resolution', 64)
-            ae_params = self.autoencoder.init(ae_rng, jnp.zeros((1, res, res, in_ch)))['params']
+            ae_params = jit_init(self.autoencoder.init)(ae_rng, jnp.zeros((1, res, res, in_ch)))['params']
             load_path_ae = self.opt['path'].get('pretrain_network_ae')
             if load_path_ae is not None:
                 ae_params = self.load_network(load_path_ae, 'params', True, template=ae_params)

@@ -30,7 +30,7 @@ from ..utils.img_util import imwrite, tensor2img
 from ..utils.logger import get_root_logger
 from ..utils.registry import MODEL_REGISTRY
 from ..parallel.mesh import replicate, shard_batch
-from .base_model import BaseModel, TrainState, build_optimizer, ema_update
+from .base_model import BaseModel, jit_init, TrainState, build_optimizer, ema_update
 from .lr_scheduler import build_schedule
 
 
@@ -54,7 +54,7 @@ class SRModel(BaseModel):
                 type(self.net_g).__call__).parameters
         except (TypeError, ValueError):
             self._net_accepts_train = False
-        variables = self._init_variables(init_rng)
+        variables = jit_init(self._init_variables)(init_rng)
         self.params = variables['params']
         # non-param collections (BatchNorm running stats in DUF/TOF etc.)
         self.net_stats = dict(variables.get('batch_stats', {}))

@@ -20,7 +20,7 @@ from ..archs import build_network
 from ..losses import build_loss
 from ..utils.registry import MODEL_REGISTRY
 from ..parallel.mesh import replicate
-from .base_model import (TrainState, advance_schedule_count, build_optimizer,
+from .base_model import (TrainState, advance_schedule_count, build_optimizer, jit_init,
                          ema_update)
 from .lr_scheduler import build_schedule
 from .sr_model import SRModel
@@ -36,7 +36,7 @@ class SRGANModel(SRModel):
         # Discriminator (reference srgan_model.py:23-36).
         self.net_d = build_network(self.opt['network_d'])
         self.rng, d_rng = jax.random.split(self.rng)
-        d_vars = self._init_d(d_rng, self._d_dummy_input())
+        d_vars = jit_init(self._init_d)(d_rng, self._d_dummy_input())
         d_params = d_vars['params']
         self.d_stats = dict(d_vars.get('batch_stats', {}))
 

@@ -25,7 +25,7 @@ from ..losses.gan_loss import g_path_regularize, r1_penalty
 from ..parallel.mesh import replicate, shard_batch
 from ..utils.img_util import imwrite, tensor2img
 from ..utils.registry import MODEL_REGISTRY
-from .base_model import BaseModel, TrainState, build_optimizer, ema_update
+from .base_model import BaseModel, TrainState, build_optimizer, ema_update, jit_init
 from .lr_scheduler import constant_lr
 
 
@@ -39,7 +39,7 @@ class StyleGAN2Model(BaseModel):
 
         self.rng, init_rng, noise_rng, fix_rng = jax.random.split(self.rng, 4)
         z = jnp.zeros((1, self.num_style_feat), jnp.float32)
-        variables = self.net_g.init({'params': init_rng, 'noise': noise_rng}, [z])
+        variables = jit_init(self.net_g.init)({'params': init_rng, 'noise': noise_rng}, [z])
         self.params = variables['params']
         self.g_noises = dict(variables.get('noises', {}))
         self.print_network(self.net_g, self.params)
@@ -67,7 +67,7 @@ class StyleGAN2Model(BaseModel):
         self.net_d = build_network(self.opt['network_d'])
         self.rng, d_rng = jax.random.split(self.rng)
         out_size = self.opt['network_d']['out_size']
-        d_params = self.net_d.init(d_rng, jnp.zeros((2, out_size, out_size, 3)))['params']
+        d_params = jit_init(self.net_d.init)(d_rng, jnp.zeros((2, out_size, out_size, 3)))['params']
         load_path = self.opt['path'].get('pretrain_network_d')
         if load_path is not None:
             d_params = self.load_network(load_path, self.opt['path'].get('param_key_d', 'params'),
