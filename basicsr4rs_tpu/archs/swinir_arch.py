@@ -258,6 +258,7 @@ class WindowAttention(nn.Module):
         (ops/swin_block.py fused_swin_block_full). Requires every dropout
         and DropPath to be identity; x: (B, H, W, C), already shifted
         (the per-token MLP commutes with the caller's roll-back)."""
+        from ..ops.quant import swin_kernels_int8
         from ..ops.swin_block import fused_swin_block_full
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
@@ -269,7 +270,8 @@ class WindowAttention(nn.Module):
         return fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv,
                                      wproj, bproj, bias, ln2_scale, ln2_bias,
                                      w1, b1, w2, b2, window_size,
-                                     self.num_heads, scale)
+                                     self.num_heads, scale,
+                                     quant_int8=swin_kernels_int8())
 
 
 class DropPath(nn.Module):

@@ -164,8 +164,12 @@ def _token_tile(t: int, c: int, hidden: int, bwd: bool) -> int:
     the VMEM budget (f32 x, xn, hidden x2, plus bf16 copies). The forward's
     working set is smaller and its blocks pipeline cleanly, so it gets a
     larger budget — fewer grid steps, less per-step overhead."""
+    import os
     per_token = (c * 3 + hidden * (3 if bwd else 2)) * 4
-    budget = 6e6 if bwd else 11e6
+    # MLP_BWD_TILE_MB: swept train knob (like SWIN_BWD_CHUNK_MB) — the
+    # backward tile trades VMEM pressure for fewer grid steps.
+    budget = (float(os.environ.get('MLP_BWD_TILE_MB', '6')) * 1e6
+              if bwd else 11e6)
     best = 8
     tile = 8
     while tile <= t:

@@ -186,8 +186,21 @@ def _interceptor(next_fun, args, kwargs, context, *, min_channels: int,
     return int8_conv2d(x, kernel, bias, strides, padding, act_scale)
 
 
+_SWIN_INT8 = False
+
+
+def swin_kernels_int8() -> bool:
+    """True while a ``quantized_inference(swin_kernels=True)`` scope is
+    active: the SwinIR arch then routes its fused joint block through the
+    W8A8 kernel (ops/swin_block.py ``_joint_int8_fwd_kernel``) — the fused
+    Pallas path bypasses ``nn.Dense``, so Flax method interception cannot
+    reach it and the arch checks this flag at trace time instead."""
+    return _SWIN_INT8
+
+
 @contextlib.contextmanager
-def quantized_inference(min_channels: int = 16, act_scales=None):
+def quantized_inference(min_channels: int = 16, act_scales=None,
+                        swin_kernels: bool = False):
     """Context manager: every eligible ``nn.Conv`` applied inside runs as a
     W8A8 int8 MXU conv. Wrap the ``net.apply`` call (works inside jit — the
     rewrite happens at trace time).
@@ -196,11 +209,24 @@ def quantized_inference(min_channels: int = 16, act_scales=None):
     ``calibrate_act_scales`` — switches activation quantization from
     dynamic to static (the fast path; see module docstring). Conv sites
     missing from the dict stay in the original precision.
+
+    ``swin_kernels``: also quantize the GEMMs inside the fused Swin joint
+    block kernel (see :func:`swin_kernels_int8`). Default OFF: measured
+    0.86x on SwinIR-M x4 at the headline serving shape — the block's GEMMs
+    have K in {180, 192, 360}, too small for the int8 MXU rate to beat the
+    in-kernel quantize/dequantize overhead (docs/Performance.md, "Int8 in
+    the fused Swin kernel").
     """
+    global _SWIN_INT8
     interceptor = functools.partial(_interceptor, min_channels=min_channels,
                                     act_scales=act_scales)
-    with nn.intercept_methods(interceptor):
-        yield
+    prev = _SWIN_INT8
+    _SWIN_INT8 = bool(swin_kernels)
+    try:
+        with nn.intercept_methods(interceptor):
+            yield
+    finally:
+        _SWIN_INT8 = prev
 
 
 def calibrate_act_scales(apply_fn, batches, min_channels: int = 16) -> dict:

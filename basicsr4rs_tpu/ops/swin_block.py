@@ -75,12 +75,19 @@ def _chunk_cols(w: int, ws: int, pack: int, c: int, num_heads: int,
     backward (s/p/dp/ds), 2 in the forward — which cost heads*pn*4 bytes
     per token. ``hidden`` adds the joint kernel's MLP activations
     (pre-GELU + GELU output, f32)."""
+    import os
     unit = ws * pack
     pn = pack * ws * ws
     per_token_bytes = (c * 4 * (8 if bwd else 3)
                        + num_heads * pn * 4 * (4 if bwd else 2)
                        + hidden * 4 * 2)
-    budget = 6e6
+    # The backward's chunk budget is a swept knob (SWIN_BWD_CHUNK_MB): at
+    # SwinIR-M train geometry 6 MB gives cw=32 (2 W-chunks, 128 grid cells
+    # at B8); larger budgets trade VMEM pressure for fewer, bigger grid
+    # cells. The forward keeps the 6 MB default (its rows knob is
+    # SWIN_ROW_BUDGET_MB, see _row_batch).
+    budget = (float(os.environ.get('SWIN_BWD_CHUNK_MB', '6')) * 1e6
+              if bwd else 6e6)
     best = unit
     cw = unit
     while cw <= w:
@@ -290,6 +297,69 @@ def _joint_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                            preferred_element_type=jnp.float32) + b1_ref[0]
         z = jax.lax.dot(_gelu(hpre).astype(dt), w2_ref[...],
                         preferred_element_type=jnp.float32) + b2_ref[0] + y
+        out_ref[0, r * ws:(r + 1) * ws] = _window_unpack(
+            z.astype(out_ref.dtype), ws, nw, cw, c)
+
+
+def _kquant_int8(xf):
+    """In-kernel per-tile dynamic symmetric int8 quantization of an f32
+    activation tile. The tile is already resident in VMEM, so the absmax
+    reduction is a cheap VPU pass — unlike the XLA-level dynamic quant in
+    ops/quant.py it costs no extra HBM round trip and needs no calibration
+    (and per-tile scales are tighter than any static per-tensor scale)."""
+    amax = jnp.max(jnp.abs(xf))
+    s = jnp.maximum(amax, 1e-12) * (1. / 127.)
+    xq = jnp.clip(jnp.round(xf * (1. / s)), -127., 127.).astype(jnp.int8)
+    return xq, s
+
+
+def _joint_int8_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
+                           bqkv_ref, wproj_ref, sproj_ref, bproj_ref,
+                           bias_ref, ln2s_ref, ln2b_ref, w1_ref, s1_ref,
+                           b1_ref, w2_ref, s2_ref, b2_ref, out_ref, *, ws,
+                           num_heads, c, catt, scale, broadcast_bias, pack,
+                           rows=1):
+    """W8A8 serving variant of ``_joint_fwd_kernel`` (VERDICT r3 #2): the
+    four big GEMMs (qkv, proj, fc1, fc2) run int8 x int8 -> int32 on the MXU
+    (1.64x the bf16 rate on v5e) with per-output-channel weight scales
+    (s*_ref rows, computed at trace time) and per-tile dynamic activation
+    scales. LN, softmax, GELU, residuals and the attention dots stay in
+    f32/bf16 — reference attention: swinir_arch.py:95-193."""
+    xall = x_ref[0]                            # (rows*ws, CW, C)
+    cw = xall.shape[1]
+    nw = cw // ws
+    n = ws * ws
+    ng, pn = nw // pack, pack * n
+    dt = xall.dtype
+    bias_all = bias_ref[...]
+
+    for r in range(rows):
+        x = xall[r * ws:(r + 1) * ws]
+        bias_arr = (bias_all if broadcast_bias
+                    else bias_all[:, r * ng:(r + 1) * ng])
+        xw = _window_pack(x, ws, nw, pack, c)      # (T, C)
+        xn, _, _ = _ln_forward(xw.astype(jnp.float32), lns_ref[0], lnb_ref[0])
+        xq, sx = _kquant_int8(xn)
+        qkv = (jax.lax.dot(xq, wqkv_ref[...],
+                           preferred_element_type=jnp.int32)
+               .astype(jnp.float32) * (sx * sqkv_ref[0]) + bqkv_ref[0])
+        a = _attention_heads(qkv.astype(dt).reshape(ng, pn, 3 * catt), bias_arr,
+                             num_heads, catt, scale, broadcast_bias, dt)
+        aq, sa = _kquant_int8(a.reshape(ng * pn, catt).astype(jnp.float32))
+        y = (jax.lax.dot(aq, wproj_ref[...],
+                         preferred_element_type=jnp.int32)
+             .astype(jnp.float32) * (sa * sproj_ref[0]) + bproj_ref[0]
+             + xw.astype(jnp.float32))             # attn branch + residual
+        yn, _, _ = _ln_forward(y, ln2s_ref[0], ln2b_ref[0])
+        yq, sy = _kquant_int8(yn)
+        hpre = (jax.lax.dot(yq, w1_ref[...],
+                            preferred_element_type=jnp.int32)
+                .astype(jnp.float32) * (sy * s1_ref[0]) + b1_ref[0])
+        from .mlp_block import _gelu
+        hq, sh = _kquant_int8(_gelu(hpre))
+        z = (jax.lax.dot(hq, w2_ref[...],
+                         preferred_element_type=jnp.int32)
+             .astype(jnp.float32) * (sh * s2_ref[0]) + b2_ref[0] + y)
         out_ref[0, r * ws:(r + 1) * ws] = _window_unpack(
             z.astype(out_ref.dtype), ws, nw, cw, c)
 
@@ -795,6 +865,67 @@ def _fused_joint_forward(window_size, num_heads, scale, interpret, x,
       w2.astype(x.dtype), b2[None])
 
 
+def _fused_joint_int8_forward(window_size, num_heads, scale, interpret, x,
+                              ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                              ln2s, ln2b, w1, b1, w2, b2):
+    """W8A8 joint block (serving only — no VJP; the quant path never routes
+    under grad). Weights are quantized per-output-channel at trace time
+    (hoisted/shared across blocks by XLA CSE when params are the same)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .quant import quantize_weight_int8
+
+    hidden = w1.shape[1]
+    b, h, w, c, ws, n, pack, cw = _geometry(x, window_size, num_heads,
+                                            bwd=False, hidden=hidden)
+    hd = c // num_heads
+    hdp = _padded_hd(hd)
+    catt = num_heads * hdp
+    if hdp != hd:
+        wqkv, bqkv, wproj = _pad_head_weights(wqkv, bqkv, wproj, num_heads,
+                                              hd, hdp)
+    wqkv_q, sqkv = quantize_weight_int8(wqkv.astype(jnp.float32), (0,))
+    wproj_q, sproj = quantize_weight_int8(wproj.astype(jnp.float32), (0,))
+    w1_q, s1 = quantize_weight_int8(w1.astype(jnp.float32), (0,))
+    w2_q, s2 = quantize_weight_int8(w2.astype(jnp.float32), (0,))
+    w_chunks = w // cw
+    ng, pn = (cw // ws) // pack, pack * n
+    rows = _row_batch(w_chunks, h, ws, cw, c, num_heads, pn, hidden=hidden)
+    bias_p = _pack_bias(bias, pack, n).transpose(1, 0, 2, 3)  # head-major
+    bias_spec, broadcast_bias = _bias_block(bias_p.shape, num_heads, pn,
+                                            rows * ng, w_chunks, 'fwd')
+    kernel = functools.partial(_joint_int8_fwd_kernel, ws=ws,
+                               num_heads=num_heads, c=c, catt=catt,
+                               scale=scale, broadcast_bias=broadcast_bias,
+                               pack=pack, rows=rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, h // (ws * rows), w_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows * ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
+            _const_spec((1, c)), _const_spec((1, c)),
+            _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
+            _const_spec((1, 3 * catt)),
+            _const_spec((catt, c)), _const_spec((1, c)), _const_spec((1, c)),
+            bias_spec,
+            _const_spec((1, c)), _const_spec((1, c)),
+            _const_spec((c, hidden)), _const_spec((1, hidden)),
+            _const_spec((1, hidden)),
+            _const_spec((hidden, c)), _const_spec((1, c)), _const_spec((1, c)),
+        ],
+        out_specs=pl.BlockSpec((1, rows * ws, cw, c),
+                               lambda bi, j, wc: (bi, j, wc, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel')),
+        interpret=interpret,
+    )(x, ln1s[None], ln1b[None], wqkv_q, sqkv[None], bqkv[None],
+      wproj_q, sproj[None], bproj[None], bias_p,
+      ln2s[None], ln2b[None], w1_q, s1[None], b1[None],
+      w2_q, s2[None], b2[None])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _fused_joint_vjp(window_size, num_heads, scale, interpret, x,
                      ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
@@ -842,15 +973,18 @@ _fused_joint_vjp.defvjp(_joint_vjp_fwd, _joint_vjp_bwd)
 def fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
                           bias, ln2_scale, ln2_bias, w1, b1, w2, b2,
                           window_size: int, num_heads: int, scale: float,
-                          interpret: bool = False):
+                          interpret: bool = False, quant_int8: bool = False):
     """The WHOLE Swin block — attention branch + residual + MLP branch +
     residual — in one Pallas call (both DropPaths must be identity; the
     caller owns the shift roll / roll-back, which commutes with the
     per-token MLP). Reference structure: swinir_arch.py:194-262 (attn +
-    Mlp with residual adds). Returns (B, H, W, C), same dtype as x."""
+    Mlp with residual adds). Returns (B, H, W, C), same dtype as x.
+
+    ``quant_int8``: serving mode — the qkv/proj/fc1/fc2 GEMMs run W8A8 on
+    the int8 MXU (see ``_joint_int8_fwd_kernel``); no VJP."""
     from . import dispatch
     interpret = interpret or dispatch.interpret_forced()
-    joint_fn = _fused_joint_vjp
+    joint_fn = (_fused_joint_int8_forward if quant_int8 else _fused_joint_vjp)
     args = (x, ln1_scale.astype(jnp.float32), ln1_bias.astype(jnp.float32),
             wqkv, bqkv.astype(jnp.float32), wproj, bproj.astype(jnp.float32),
             bias.astype(jnp.float32),

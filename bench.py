@@ -177,6 +177,15 @@ def _time_fori(fn, args, iters, reps=5):
     return best / iters
 
 
+
+def _jit_init(fn):
+    """One-executable init on accelerators (eager init = one RPC per op over
+    the axon tunnel — network creation dominated round 3's bench wall
+    clock); eager on CPU."""
+    import jax
+    return jax.jit(fn) if jax.default_backend() != 'cpu' else fn
+
+
 def _build(net_opt):
     from basicsr4rs_tpu.archs import build_network
     return build_network(net_opt)
@@ -198,7 +207,7 @@ def bench_infer(net_opt, batch, lr_size, iters=4):
     net = _build(net_opt)
     x = jnp.asarray(np.random.RandomState(0).rand(batch, lr_size, lr_size, 3)
                     .astype(np.float32))
-    params = net.init(jax.random.PRNGKey(0), x)['params']
+    params = _jit_init(net.init)(jax.random.PRNGKey(0), x)['params']
 
     def step(acc, p, xx):
         y = net.apply({'params': p}, xx + acc * 1e-30)
@@ -220,7 +229,7 @@ def bench_infer_int8(net_opt, batch, lr_size, iters=8):
     net = _build(net_opt)
     x = jnp.asarray(np.random.RandomState(0).rand(batch, lr_size, lr_size, 3)
                     .astype(np.float32))
-    params = net.init(jax.random.PRNGKey(0), x)['params']
+    params = _jit_init(net.init)(jax.random.PRNGKey(0), x)['params']
     scales = calibrate_act_scales(
         lambda b: net.apply({'params': params}, b), [x[:8]])
 
@@ -234,6 +243,31 @@ def bench_infer_int8(net_opt, batch, lr_size, iters=8):
     return batch * (lr_size * scale) ** 2 / dt / 1e6
 
 
+def bench_swin_int8(batch=16, lr_size=64, iters=8):
+    """Time the W8A8 fused Swin joint kernel (VERDICT r3 #2) at the headline
+    serving shape; the bf16 reference number comes from the headline stage
+    (one SwinIR executable instead of two — compiles over the axon tunnel
+    are minutes each). Output-fidelity PSNR is measured separately
+    (`scripts/bench_swin_int8_fidelity.py`) and bounded in
+    tests/test_ops/test_swin_block.py. Returns int8 output MP/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from basicsr4rs_tpu.ops.quant import quantized_inference
+    net = _build(_swinir_opt(True))
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, lr_size, lr_size, 3)
+                    .astype(np.float32))
+    params = _jit_init(net.init)(jax.random.PRNGKey(0), x)['params']
+
+    def step_q(acc, p, xx):
+        with quantized_inference(min_channels=10**9, swin_kernels=True):
+            y = net.apply({'params': p}, xx + acc * 1e-30)
+        return jnp.mean(y.astype(jnp.float32))
+
+    dt_q = _time_fori(step_q, (params, x), iters)
+    return batch * (lr_size * 4) ** 2 / dt_q / 1e6
+
+
 def bench_train(net_opt, batch, lr_size, scale=4, iters=4):
     """Output MP/s for a full jitted train step (L1 + Adam + EMA)."""
     import jax
@@ -245,7 +279,7 @@ def bench_train(net_opt, batch, lr_size, scale=4, iters=4):
     rs = np.random.RandomState(0)
     lq = jnp.asarray(rs.rand(batch, lr_size, lr_size, 3).astype(np.float32))
     gt = jnp.asarray(rs.rand(batch, lr_size * scale, lr_size * scale, 3).astype(np.float32))
-    params = net.init(rngk, lq)['params']
+    params = _jit_init(net.init)(rngk, lq)['params']
     tx = optax.adam(2e-4)
     state = {'p': params, 'ema': jax.tree_util.tree_map(jnp.array, params),
              'opt': tx.init(params)}
@@ -383,7 +417,7 @@ def bench_resshift_sampling(steps=15, reps=3):
     lq = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32))
     x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
     tt = jnp.zeros((1,), jnp.int32)
-    params = net.init(jax.random.PRNGKey(0), x0, tt, x0)['params']
+    params = _jit_init(net.init)(jax.random.PRNGKey(0), x0, tt, x0)['params']
 
     @jax.jit
     def sample(p, y, key):
@@ -462,7 +496,7 @@ def bench_stylegan2_g(reps=3, iters=4):
     rs = np.random.RandomState(0)
     z = jnp.asarray(rs.randn(8, 512).astype(np.float32))
     rngs = {'params': jax.random.PRNGKey(0), 'noise': jax.random.PRNGKey(1)}
-    params = net.init(rngs, [z])['params']
+    params = _jit_init(net.init)(rngs, [z])['params']
     if isinstance(params, dict) and 'params' in params:
         params = params['params']
 
@@ -609,6 +643,13 @@ def main():
         extras['msrresnet_train_mpix_s'] = round(ms_tr_mpix, 2)
         extras['msrresnet_train_mfu'] = mfu(ms_tr_lrpix, ms_flops, 3.0)
     stage('msrresnet_train', 100, _ms_train)
+
+    def _swin_int8():
+        q_mpix = bench_swin_int8()
+        extras['swinir_swin_int8_mpix_s'] = round(q_mpix, 2)
+        if out['value']:
+            extras['swinir_swin_int8_vs_fp'] = round(q_mpix / out['value'], 3)
+    stage('swinir_swin_int8', 200, _swin_int8)
 
     def _ab():
         extras['attn_pallas_vs_xla'] = round(bench_attention_ab(), 2)

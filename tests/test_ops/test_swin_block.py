@@ -230,3 +230,20 @@ def test_residual_scale_mode():
         denom = np.abs(b).max() + 1e-6
         assert np.abs(a - b).max() / denom < 2e-4, name
 
+
+def test_joint_int8_close_to_fp32_reference():
+    """W8A8 serving joint kernel (VERDICT r3 #2): int8 qkv/proj/fc1/fc2 with
+    per-output-channel weight scales + per-tile dynamic activation scales
+    must track the f32 reference within quantization noise — checked as
+    output SNR (same criterion as tests/test_ops/test_quant.py) plus a
+    sanity bound on the max deviation relative to the output range."""
+    from basicsr4rs_tpu.ops.swin_block import fused_swin_block_full
+    kw = _joint_case(nwb=16, seed=77)
+    args = [kw[k] for k in JOINT_ARGNAMES]
+    want = np.asarray(_joint_reference(*args, 4, 3, 0.37))
+    got = np.asarray(fused_swin_block_full(*args, 4, 3, 0.37, interpret=True,
+                                           quant_int8=True))
+    err = got - want
+    snr_db = 10 * np.log10((want ** 2).mean() / ((err ** 2).mean() + 1e-20))
+    assert snr_db > 30, f'int8 joint block SNR {snr_db:.1f} dB'
+    assert np.abs(err).max() < 0.1 * (np.abs(want).max() + 1e-6)
