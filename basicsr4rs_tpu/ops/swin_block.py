@@ -165,15 +165,41 @@ def _pad_head_weights(wqkv, bqkv, wproj, num_heads, hd, hdp):
             wp.reshape(num_heads * hdp, c))
 
 
+def _scores_mode() -> str:
+    """How the qk scores GEMM runs (SWIN_SCORES_MODE, measurement knob):
+    'f32'    — upcast q/k to f32 and fold the qk scale into q (the original
+               convention; measured FASTEST on v5e despite the f32 GEMM's
+               multi-pass MXU decomposition: 24.7 MP/s headline vs 22.3 for
+               'post' — Mosaic evidently sees through the convert-from-bf16
+               and the post-scale pass over the (heads·ng, pn, pn) scores
+               is pure added VPU traffic),
+    'post'   — model-dtype GEMM, scalar scale applied to the f32 scores,
+    'folded' — model-dtype GEMM with the scale pre-folded into q (one extra
+               bf16 rounding on q)."""
+    import os
+    return os.environ.get('SWIN_SCORES_MODE', 'f32')
+
+
+def _scores_gemm(q, k, scale, dims):
+    mode = _scores_mode()
+    if mode == 'f32':
+        return jax.lax.dot_general(q.astype(jnp.float32) * scale,
+                                   k.astype(jnp.float32), dims,
+                                   preferred_element_type=jnp.float32)
+    if mode == 'folded':
+        return jax.lax.dot_general((q * scale).astype(q.dtype), k, dims,
+                                   preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(q, k, dims,
+                               preferred_element_type=jnp.float32) * scale
+
+
 def _attention_probs(qkv3, bias_arr, num_heads, c, scale, broadcast_bias):
     """Head-batched scores + softmax: returns (p, v) with
     p (heads*ng, pn, pn) f32 and v (heads*ng, pn, hd). bias_arr is packed
     head-major: (heads, 1|ng, pn, pn)."""
     ng, pn, _ = qkv3.shape
     q, k, v = _split_heads(qkv3, num_heads, c)
-    s = jax.lax.dot_general(q.astype(jnp.float32) * scale, k.astype(jnp.float32),
-                            (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
+    s = _scores_gemm(q, k, scale, (((2,), (2,)), ((0,), (0,))))
     s4 = s.reshape(num_heads, ng, pn, pn)
     p = jax.nn.softmax(s4 + bias_arr, axis=-1)   # (heads, 1|ng, pn, pn)
     return p.reshape(num_heads * ng, pn, pn), v
@@ -203,11 +229,10 @@ def _attention_heads_looped(qkv3, bias_arr, num_heads, c, scale, out_dtype):
     hd = c // num_heads
     outs = []
     for h in range(num_heads):
-        q = qkv3[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-        k = qkv3[:, :, c + h * hd:c + (h + 1) * hd].astype(jnp.float32)
+        q = qkv3[:, :, h * hd:(h + 1) * hd]
+        k = qkv3[:, :, c + h * hd:c + (h + 1) * hd]
         v = qkv3[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+        s = _scores_gemm(q, k, scale, (((2,), (2,)), ((0,), (0,))))
         p = jax.nn.softmax(s + bias_arr[h], axis=-1)
         o = jax.lax.dot_general(p.astype(out_dtype), v,
                                 (((2,), (1,)), ((0,), (0,))),
@@ -423,38 +448,46 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     dz_w = (dz_res * s_ref[pl.program_id(2), 0].astype(jnp.float32)
             if scaled else dz_res)
 
-    # ---- proj backward (needs the recomputed attention output)
-    a = _attention_heads(qkv3, bias_ref[...], num_heads, catt, scale,
-                         broadcast_bias, dt).reshape(t, catt)
+    # ---- recompute attention probs ONCE (shared by proj bwd + softmax VJP);
+    # GEMM inputs stay in the model dtype with f32 accumulation — the same
+    # mixed-precision convention as _mlp_bwd_kernel (bf16 runs the MXU at
+    # full rate on v5e; when the caller trains in f32 dt==f32 and numerics
+    # are unchanged, which the grad-parity tests pin)
+    q, k, v = _split_heads(qkv3, num_heads, catt)     # (ng*heads, pn, hd')
+    p, _ = _attention_probs(qkv3, bias_ref[...], num_heads, catt, scale,
+                            broadcast_bias)           # f32 probs
+    p_dt = p.astype(dt)
+
+    # ---- proj backward (attention output rebuilt from the shared probs)
+    o = jax.lax.dot_general(p_dt, v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    a = jnp.concatenate([o[h * ng:(h + 1) * ng] for h in range(num_heads)],
+                        axis=-1).reshape(t, catt)
+    dz_w_dt = dz_w.astype(dt)
     dwproj_ref[...] += jax.lax.dot_general(
-        a.astype(jnp.float32), dz_w, (((0,), (0,)), ((), ())),
+        a.astype(dt), dz_w_dt, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dbproj_ref[0] += jnp.sum(dz_w, axis=0)
-    da = jax.lax.dot_general(dz_w.astype(dt), wproj_ref[...],
+    da = jax.lax.dot_general(dz_w_dt, wproj_ref[...],
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)   # (T, C')
     da3 = da.reshape(ng, pn, catt)
 
-    # ---- attention backward, all heads batched (softmax VJP on recomputed P)
-    q, k, v = _split_heads(qkv3, num_heads, catt)     # (ng*heads, pn, hd')
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # ---- attention backward, all heads batched (softmax VJP on shared P)
     # head-major axis-0 concat, like _split_heads (no lane-dim shape casts)
     do = jnp.concatenate([da3[:, :, h * hd:(h + 1) * hd]
                           for h in range(num_heads)], axis=0)   # f32
+    do_dt = do.astype(dt)
 
-    p, _ = _attention_probs(qkv3, bias_ref[...], num_heads, catt, scale,
-                            broadcast_bias)
-
-    dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+    dv = jax.lax.dot_general(p_dt, do_dt, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, vf, (((2,), (2,)), ((0,), (0,))),
+    dp = jax.lax.dot_general(do_dt, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = scale * jax.lax.dot_general(ds, kf, (((2,), (1,)), ((0,), (0,))),
+    ds_dt = ds.astype(dt)
+    dq = scale * jax.lax.dot_general(ds_dt, k, (((2,), (1,)), ((0,), (0,))),
                                      preferred_element_type=jnp.float32)
-    dk = scale * jax.lax.dot_general(ds, qf, (((1,), (1,)), ((0,), (0,))),
+    dk = scale * jax.lax.dot_general(ds_dt, q, (((1,), (1,)), ((0,), (0,))),
                                      preferred_element_type=jnp.float32)
     ds4 = ds.reshape(num_heads, ng, pn, pn)
     if broadcast_bias:
@@ -468,12 +501,14 @@ def _block_bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
             axis=-1)
 
     dqkv = jnp.concatenate([merge(dq), merge(dk), merge(dv)], axis=-1)
+    dqkv_dt = dqkv.astype(dt)
 
     # ---- qkv GEMM backward
     dwqkv_ref[...] += jax.lax.dot_general(
-        xn, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        xn_dt, dqkv_dt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
-    dxn = jax.lax.dot_general(dqkv.astype(dt), wqkv_ref[...],
+    dxn = jax.lax.dot_general(dqkv_dt, wqkv_ref[...],
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (T, C)
 

@@ -129,12 +129,12 @@ def _attention_kernel(qkv_ref, bias_ref, out_ref, *, ws: int, num_heads: int,
     # (ws, W, 3C) -> (nw, n, 3C) -> adjacent windows packed: (ng, pn, 3C)
     xw = strip.reshape(ws, nw, ws, 3 * c).transpose(1, 0, 2, 3).reshape(ng, pn, 3 * c)
     outs = []
+    from .swin_block import _scores_gemm
     for head in range(num_heads):
-        q = xw[:, :, head * hd:(head + 1) * hd].astype(jnp.float32) * scale
-        k = xw[:, :, c + head * hd:c + (head + 1) * hd].astype(jnp.float32)
+        q = xw[:, :, head * hd:(head + 1) * hd]
+        k = xw[:, :, c + head * hd:c + (head + 1) * hd]
         v = xw[:, :, 2 * c + head * hd:2 * c + (head + 1) * hd]
-        attn = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                   preferred_element_type=jnp.float32)  # (ng, pn, pn)
+        attn = _scores_gemm(q, k, scale, (((2,), (2,)), ((0,), (0,))))
         if broadcast_bias:
             attn = attn + bias_ref[0, head]
         else:
@@ -259,28 +259,33 @@ def _attention_bwd_kernel(qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref, *,
     def _init():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
+    from .swin_block import _scores_gemm
+    dt = xw.dtype
     for head in range(num_heads):
-        q = xw[:, :, head * hd:(head + 1) * hd].astype(jnp.float32)
-        k = xw[:, :, c + head * hd:c + (head + 1) * hd].astype(jnp.float32)
-        v = xw[:, :, 2 * c + head * hd:2 * c + (head + 1) * hd].astype(jnp.float32)
-        do = dow[:, :, head * hd:(head + 1) * hd].astype(jnp.float32)
+        # non-scores GEMM inputs in the model dtype, f32 accumulation (same
+        # convention as _block_bwd_kernel); softmax/VJP arithmetic stays f32
+        q = xw[:, :, head * hd:(head + 1) * hd]
+        k = xw[:, :, c + head * hd:c + (head + 1) * hd]
+        v = xw[:, :, 2 * c + head * hd:2 * c + (head + 1) * hd]
+        do = dow[:, :, head * hd:(head + 1) * hd].astype(dt)
 
-        s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+        s = _scores_gemm(q, k, scale, (((2,), (2,)), ((0,), (0,))))
         if broadcast_bias:
             s = s + bias_ref[0, head]
         else:
             s = s + bias_ref[:, head]
         p = jax.nn.softmax(s, axis=-1)                                  # (ng, pn, pn)
+        p_dt = p.astype(dt)
 
-        dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+        dv = jax.lax.dot_general(p_dt, do, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)    # (ng, pn, hd)
         dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)    # (ng, pn, pn)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = scale * jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+        ds_dt = ds.astype(dt)
+        dq = scale * jax.lax.dot_general(ds_dt, k, (((2,), (1,)), ((0,), (0,))),
                                          preferred_element_type=jnp.float32)
-        dk = scale * jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+        dk = scale * jax.lax.dot_general(ds_dt, q, (((1,), (1,)), ((0,), (0,))),
                                          preferred_element_type=jnp.float32)
         dq_parts.append(dq)
         dk_parts.append(dk)
