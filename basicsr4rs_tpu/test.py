@@ -16,6 +16,8 @@ from basicsr4rs_tpu.utils.options import parse_options
 
 
 def test_pipeline(root_path):
+    from basicsr4rs_tpu.utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     opt, _ = parse_options(root_path, is_train=False)
     opt['root_path'] = root_path
 

@@ -107,6 +107,8 @@ def load_resume_state(opt):
 
 def train_pipeline(root_path):
     """(reference train.py:92-212)"""
+    from basicsr4rs_tpu.utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     opt, args = parse_options(root_path, is_train=True)
     opt['root_path'] = root_path
 

@@ -521,6 +521,9 @@ def bench_stylegan2_g(reps=3, iters=4):
 
 def main():
     import jax
+
+    from basicsr4rs_tpu.utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     t_start = time.monotonic()
     budget = float(os.environ.get('BENCH_BUDGET_S', '1200'))
     peak = V5E_BF16_PEAK if jax.default_backend() == 'tpu' else None

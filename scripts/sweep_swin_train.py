@@ -13,6 +13,8 @@ import sys
 CHILD = r'''
 import os, sys, json
 sys.path.insert(0, {root!r})
+from basicsr4rs_tpu.utils.compile_cache import enable_persistent_compilation_cache
+enable_persistent_compilation_cache()
 import bench
 mpix, lrpix = bench.bench_train(bench._swinir_opt(True), batch=8, lr_size=64)
 flops = bench.swinir_m_flops_per_lr_pixel()
@@ -23,6 +25,8 @@ print(json.dumps({{"mpix_s": round(mpix, 3),
 DECOMP = r'''
 import os, sys, json, time
 sys.path.insert(0, {root!r})
+from basicsr4rs_tpu.utils.compile_cache import enable_persistent_compilation_cache
+enable_persistent_compilation_cache()
 import jax, jax.numpy as jnp, numpy as np
 import bench
 net = bench._build(bench._swinir_opt(True))
@@ -62,14 +66,21 @@ def main():
     p.add_argument('--values', default='6,8,10,12')
     p.add_argument('--decomp', action='store_true',
                    help='time fwd vs fwd+bwd instead of the full train step')
+    p.add_argument('--timeout', type=int, default=1500,
+                   help='per-value budget, s (remote compile over the axon '
+                        'tunnel can take several minutes cold)')
     args = p.parse_args()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     child = (DECOMP if args.decomp else CHILD).format(root=root)
     for v in args.values.split(','):
         env = dict(os.environ, **{args.knob: v})
-        r = subprocess.run([sys.executable, '-c', child],
-                           capture_output=True, text=True, env=env, cwd=root,
-                           timeout=900)
+        try:
+            r = subprocess.run([sys.executable, '-c', child],
+                               capture_output=True, text=True, env=env,
+                               cwd=root, timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            print(f'{args.knob}={v}: TIMEOUT after {args.timeout}s', flush=True)
+            continue
         tail = (r.stdout.strip().splitlines() or ['?'])[-1]
         print(f'{args.knob}={v}: {tail}', flush=True)
         if r.returncode != 0:
