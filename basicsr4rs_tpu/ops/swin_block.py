@@ -286,16 +286,28 @@ def _block_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 def _joint_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                       bproj_ref, bias_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref,
-                      w2_ref, b2_ref, out_ref, *, ws, num_heads, c, catt,
-                      scale, broadcast_bias, pack, rows=1):
+                      w2_ref, b2_ref, *rest, ws, num_heads, c, catt,
+                      scale, broadcast_bias, pack, rows=1, scaled=False):
     """Whole Swin block in ONE grid cell: attention branch + residual, then
     LN2+fc1+GELU+fc2 + residual (the MLP is per-token, so running it before
     the caller's shift roll-back is numerically identical). Used when both
     residuals fold (DropPath identity) — removes the kernel-boundary HBM
     round trip of the post-attention activation that the two-call structure
-    pays per block."""
+    pays per block.
+
+    scaled=True appends two per-batch residual scales s1/s2 (DropPath
+    mask/keep for the attention and MLP branches, full (B, 1) blocks indexed
+    by the batch grid position): y = s1*attn + x; out = s2*mlp + y — the
+    training stochastic-depth semantics of reference swinir_arch.py:262."""
     from .mlp_block import _gelu
 
+    if scaled:
+        from jax.experimental import pallas as pl
+        s1_ref, s2_ref, out_ref = rest
+        s1 = s1_ref[pl.program_id(0), 0].astype(jnp.float32)
+        s2 = s2_ref[pl.program_id(0), 0].astype(jnp.float32)
+    else:
+        out_ref, = rest
     xall = x_ref[0]                            # (rows*ws, CW, C)
     cw = xall.shape[1]
     nw = cw // ws
@@ -314,14 +326,15 @@ def _joint_fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                           preferred_element_type=jnp.float32) + bqkv_ref[0]
         a = _attention_heads(qkv.astype(dt).reshape(ng, pn, 3 * catt), bias_arr,
                              num_heads, catt, scale, broadcast_bias, dt)
-        y = (jax.lax.dot(a.reshape(ng * pn, catt).astype(dt), wproj_ref[...],
-                         preferred_element_type=jnp.float32) + bproj_ref[0]
-             + xw.astype(jnp.float32))             # attn branch + residual
+        att = (jax.lax.dot(a.reshape(ng * pn, catt).astype(dt), wproj_ref[...],
+                           preferred_element_type=jnp.float32) + bproj_ref[0])
+        y = (att * s1 if scaled else att) + xw.astype(jnp.float32)
         yn, _, _ = _ln_forward(y, ln2s_ref[0], ln2b_ref[0])
         hpre = jax.lax.dot(yn.astype(dt), w1_ref[...],
                            preferred_element_type=jnp.float32) + b1_ref[0]
-        z = jax.lax.dot(_gelu(hpre).astype(dt), w2_ref[...],
-                        preferred_element_type=jnp.float32) + b2_ref[0] + y
+        mlp = jax.lax.dot(_gelu(hpre).astype(dt), w2_ref[...],
+                          preferred_element_type=jnp.float32) + b2_ref[0]
+        z = (mlp * s2 if scaled else mlp) + y
         out_ref[0, r * ws:(r + 1) * ws] = _window_unpack(
             z.astype(out_ref.dtype), ws, nw, cw, c)
 
@@ -852,7 +865,7 @@ _fused_block_scaled_vjp.defvjp(_scaled_vjp_fwd, _scaled_vjp_bwd)
 # --------------------------------------------------- joint attn+MLP block
 def _fused_joint_forward(window_size, num_heads, scale, interpret, x,
                          ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
-                         ln2s, ln2b, w1, b1, w2, b2):
+                         ln2s, ln2b, w1, b1, w2, b2, s1=None, s2=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -874,30 +887,36 @@ def _fused_joint_forward(window_size, num_heads, scale, interpret, x,
     kernel = functools.partial(_joint_fwd_kernel, ws=ws, num_heads=num_heads,
                                c=c, catt=catt, scale=scale,
                                broadcast_bias=broadcast_bias,
-                               pack=pack, rows=rows)
+                               pack=pack, rows=rows, scaled=s1 is not None)
+    in_specs = [
+        pl.BlockSpec((1, rows * ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
+        _const_spec((1, c)), _const_spec((1, c)),
+        _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
+        _const_spec((catt, c)), _const_spec((1, c)),
+        bias_spec,
+        _const_spec((1, c)), _const_spec((1, c)),
+        _const_spec((c, hidden)), _const_spec((1, hidden)),
+        _const_spec((hidden, c)), _const_spec((1, c)),
+    ]
+    args = [x, ln1s[None], ln1b[None], wqkv.astype(x.dtype), bqkv[None],
+            wproj.astype(x.dtype), bproj[None], bias_p,
+            ln2s[None], ln2b[None], w1.astype(x.dtype), b1[None],
+            w2.astype(x.dtype), b2[None]]
+    if s1 is not None:
+        for s in (s1, s2):
+            in_specs.append(pl.BlockSpec((b, 1), lambda bi, j, wc: (0, 0)))
+            args.append(s.reshape(-1, 1).astype(jnp.float32))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, h // (ws * rows), w_chunks),
-        in_specs=[
-            pl.BlockSpec((1, rows * ws, cw, c), lambda bi, j, wc: (bi, j, wc, 0)),
-            _const_spec((1, c)), _const_spec((1, c)),
-            _const_spec((c, 3 * catt)), _const_spec((1, 3 * catt)),
-            _const_spec((catt, c)), _const_spec((1, c)),
-            bias_spec,
-            _const_spec((1, c)), _const_spec((1, c)),
-            _const_spec((c, hidden)), _const_spec((1, hidden)),
-            _const_spec((hidden, c)), _const_spec((1, c)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows * ws, cw, c),
                                lambda bi, j, wc: (bi, j, wc, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'parallel')),
         interpret=interpret,
-    )(x, ln1s[None], ln1b[None], wqkv.astype(x.dtype), bqkv[None],
-      wproj.astype(x.dtype), bproj[None], bias_p,
-      ln2s[None], ln2b[None], w1.astype(x.dtype), b1[None],
-      w2.astype(x.dtype), b2[None])
+    )(*args)
 
 
 def _fused_joint_int8_forward(window_size, num_heads, scale, interpret, x,
@@ -1005,32 +1024,104 @@ def _joint_vjp_bwd(window_size, num_heads, scale, interpret, res, dz):
 _fused_joint_vjp.defvjp(_joint_vjp_fwd, _joint_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_joint_scaled_vjp(window_size, num_heads, scale, interpret, x,
+                            ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                            ln2s, ln2b, w1, b1, w2, b2, s1, s2):
+    """Whole block with per-sample DropPath scales folded:
+    y = x + s1*attn(x); out = y + s2*mlp(y). s1/s2 are random masks — zero
+    cotangents. Training analog of ``_fused_joint_vjp``."""
+    return _fused_joint_forward(window_size, num_heads, scale, interpret, x,
+                                ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                                ln2s, ln2b, w1, b1, w2, b2, s1=s1, s2=s2)
+
+
+def _joint_scaled_fwd(window_size, num_heads, scale, interpret, x,
+                      ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                      ln2s, ln2b, w1, b1, w2, b2, s1, s2):
+    out = _fused_joint_forward(window_size, num_heads, scale, interpret, x,
+                               ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                               ln2s, ln2b, w1, b1, w2, b2, s1=s1, s2=s2)
+    return out, (x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                 ln2s, ln2b, w1, b1, w2, s1, s2)
+
+
+def _joint_scaled_bwd(window_size, num_heads, scale, interpret, res, dz):
+    """Flash-style: recompute y = x + s1*attn(x) with the scaled attention
+    forward kernel, then run the two existing scaled backward kernels
+    (MLP with per-token s2, attention with per-batch s1)."""
+    from .mlp_block import _mlp_backward
+
+    (x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+     ln2s, ln2b, w1, b1, w2, s1, s2) = res
+    b = x.shape[0]
+    c = x.shape[-1]
+    tokens_per_sample = x.size // (b * c)
+    y = _fused_block_forward(window_size, num_heads, scale, interpret, False,
+                             x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                             s=s1)
+    s2_tok = jnp.repeat(s2.astype(jnp.float32), tokens_per_sample)[:, None]
+    dy2, dln2s, dln2b, dw1, db1, dw2, db2 = _mlp_backward(
+        interpret, False, y.reshape(-1, c), ln2s, ln2b, w1, b1, w2,
+        dz.reshape(-1, c).astype(y.dtype), s2=s2_tok)
+    dx, dln1s, dln1b, dwqkv, dbqkv, dwproj, dbproj, dbias = \
+        _fused_block_backward(window_size, num_heads, scale, interpret, False,
+                              x, ln1s, ln1b, wqkv, bqkv, wproj, bias,
+                              dy2.reshape(x.shape), s=s1)
+    return (dx, dln1s, dln1b, dwqkv, dbqkv, dwproj, dbproj, dbias,
+            dln2s, dln2b, dw1, db1, dw2, db2,
+            jnp.zeros_like(s1), jnp.zeros_like(s2))
+
+
+_fused_joint_scaled_vjp.defvjp(_joint_scaled_fwd, _joint_scaled_bwd)
+
+
 def fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
                           bias, ln2_scale, ln2_bias, w1, b1, w2, b2,
                           window_size: int, num_heads: int, scale: float,
-                          interpret: bool = False, quant_int8: bool = False):
+                          interpret: bool = False, quant_int8: bool = False,
+                          residual_scales=None):
     """The WHOLE Swin block — attention branch + residual + MLP branch +
-    residual — in one Pallas call (both DropPaths must be identity; the
-    caller owns the shift roll / roll-back, which commutes with the
-    per-token MLP). Reference structure: swinir_arch.py:194-262 (attn +
-    Mlp with residual adds). Returns (B, H, W, C), same dtype as x.
+    residual — in one Pallas call (the caller owns the shift roll /
+    roll-back, which commutes with the per-token MLP). Reference structure:
+    swinir_arch.py:194-262 (attn + Mlp with residual adds). Returns
+    (B, H, W, C), same dtype as x.
 
+    ``residual_scales``: optional (s1, s2) per-sample (B,) DropPath scales —
+    training stochastic depth folded into the kernel:
+    y = x + s1*attn(x); out = y + s2*mlp(y). Without them both DropPaths
+    must be identity.
     ``quant_int8``: serving mode — the qkv/proj/fc1/fc2 GEMMs run W8A8 on
     the int8 MXU (see ``_joint_int8_fwd_kernel``); no VJP."""
     from . import dispatch
     interpret = interpret or dispatch.interpret_forced()
-    joint_fn = (_fused_joint_int8_forward if quant_int8 else _fused_joint_vjp)
+    if quant_int8:
+        joint_fn = _fused_joint_int8_forward
+    elif residual_scales is not None:
+        joint_fn = _fused_joint_scaled_vjp
+    else:
+        joint_fn = _fused_joint_vjp
     args = (x, ln1_scale.astype(jnp.float32), ln1_bias.astype(jnp.float32),
             wqkv, bqkv.astype(jnp.float32), wproj, bproj.astype(jnp.float32),
             bias.astype(jnp.float32),
             ln2_scale.astype(jnp.float32), ln2_bias.astype(jnp.float32),
             w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32))
+    if residual_scales is not None and not quant_int8:
+        s1, s2 = residual_scales
+        args = args + (s1.astype(jnp.float32), s2.astype(jnp.float32))
 
     def _reference(xx):
-        y = xx + reference_swin_attn_block(
+        att = reference_swin_attn_block(
             xx, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj, bias,
             window_size, num_heads, scale)
         from .mlp_block import reference_mlp_block
+        if residual_scales is not None:
+            s1, s2 = residual_scales
+            y = xx + att * s1[:, None, None, None].astype(xx.dtype)
+            return y + (reference_mlp_block(y, ln2_scale, ln2_bias, w1, b1,
+                                            w2, b2)
+                        * s2[:, None, None, None].astype(xx.dtype))
+        y = xx + att
         return y + reference_mlp_block(y, ln2_scale, ln2_bias, w1, b1, w2, b2)
 
     if not interpret and jax.default_backend() not in ('tpu',):
@@ -1050,10 +1141,12 @@ def fused_swin_block_full(x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
         xspec, bias_spec = specs
         core = functools.partial(joint_fn, window_size, num_heads,
                                  scale, interpret)
-        fn = dispatch.shard_wrap(
-            core, mesh,
-            in_specs=(xspec,) + (P(),) * 6 + (bias_spec,) + (P(),) * 6,
-            out_specs=xspec)
+        in_specs = (xspec,) + (P(),) * 6 + (bias_spec,) + (P(),) * 6
+        if residual_scales is not None and not quant_int8:
+            # s1/s2 follow the batch axis of x
+            in_specs = in_specs + (P(xspec[0]), P(xspec[0]))
+        fn = dispatch.shard_wrap(core, mesh, in_specs=in_specs,
+                                 out_specs=xspec)
         return fn(*args)
 
     return joint_fn(window_size, num_heads, scale, interpret, *args)

@@ -157,6 +157,45 @@ def test_joint_vjp_matches_reference_grads(nwb):
         assert err < 5e-4, f'grad mismatch for {name}: rel-err {err:.2e}'
 
 
+def test_joint_scaled_vjp_matches_reference_grads():
+    """Training path (VERDICT r4 weak #4): whole-block joint kernel with the
+    per-sample DropPath mask/keep scales folded in — forward and all 14
+    parameter cotangents must match the unfused stochastic-depth reference
+    y = x + s1*attn(x); out = y + s2*mlp(y)."""
+    from basicsr4rs_tpu.ops.mlp_block import reference_mlp_block
+    from basicsr4rs_tpu.ops.swin_block import fused_swin_block_full
+    kw = _joint_case(b=4, nwb=16, seed=61)
+    args = [kw[k] for k in JOINT_ARGNAMES]
+    rng = np.random.RandomState(7)
+    # realistic DropPath scales: some samples dropped (0), others 1/keep
+    s1 = jnp.asarray((rng.rand(4) > 0.3).astype(np.float32) / 0.7)
+    s2 = jnp.asarray((rng.rand(4) > 0.3).astype(np.float32) / 0.7)
+
+    def loss_fused(*a):
+        out = fused_swin_block_full(*a, 4, 3, 0.37, interpret=True,
+                                    residual_scales=(s1, s2))
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_ref(*a):
+        (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+         ln2_scale, ln2_bias, w1, b1, w2, b2) = a
+        att = reference_swin_attn_block(x, ln_scale, ln_bias, wqkv, bqkv,
+                                        wproj, bproj, bias, 4, 3, 0.37)
+        y = x + att * s1[:, None, None, None]
+        out = y + (reference_mlp_block(y, ln2_scale, ln2_bias, w1, b1, w2, b2)
+                   * s2[:, None, None, None])
+        return jnp.sum(out * jnp.sin(out))
+
+    f_f, g_f = jax.value_and_grad(loss_fused, argnums=tuple(range(14)))(*args)
+    f_r, g_r = jax.value_and_grad(loss_ref, argnums=tuple(range(14)))(*args)
+    np.testing.assert_allclose(float(f_f), float(f_r), rtol=1e-5)
+    for name, a, b in zip(JOINT_ARGNAMES, g_f, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max() + 1e-6
+        err = np.abs(a - b).max() / denom
+        assert err < 5e-4, f'grad mismatch for {name}: rel-err {err:.2e}'
+
+
 def test_joint_wide_input_uses_w_chunking():
     from basicsr4rs_tpu.ops.swin_block import fused_swin_block_full
     kw = _joint_case(b=1, h=8, w=64, c=8, heads=2, ws=4, nwb=1, seed=3)
