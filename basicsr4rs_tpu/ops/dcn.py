@@ -463,13 +463,32 @@ def modulated_deform_conv(x: jnp.ndarray,
         sample = _sampler(method)
         patches = None
 
-    # per-tap sample + accumulate into the output: the (N, Ho, Wo, K*K, Cin)
-    # column tensor of an im2col formulation never materializes (~1/3 less
-    # HBM traffic); static K*K loop.
     cig = cin // groups
     cog = cout // groups
     wk = weight.reshape(kh * kw, cig, cout)
     wg = weight.reshape(kh * kw, cig, groups, cog) if groups > 1 else None
+
+    if patches is not None and groups == 1:
+        # The fused sampler already materialized every tap — contract all
+        # K*K taps in ONE im2col GEMM (K-dim kh*kw*cin instead of kh*kw
+        # separate cin-deep GEMMs: 9x fewer MXU dispatches and a K of 576
+        # instead of 64 at EDVR sizes, where a 64-deep contraction leaves
+        # half the 128-wide systolic array idle).
+        col = patches.transpose(0, 4, 5, 2, 1, 3)  # (n, ho, wo, k2, dg, cpg)
+        if msk is not None:
+            col = col * msk.transpose(0, 1, 2, 4, 3)[..., None].astype(col.dtype)
+        col = col.reshape(n, ho, wo, kh * kw * cin).astype(x.dtype)
+        out = jax.lax.dot_general(
+            col, weight.reshape(kh * kw * cin, cout).astype(x.dtype),
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+    # per-tap sample + accumulate into the output: the (N, Ho, Wo, K*K, Cin)
+    # column tensor of an im2col formulation never materializes in the
+    # gather/one-hot paths (~1/3 less HBM traffic); static K*K loop.
     out = jnp.zeros((n, ho, wo, cout), x.dtype)
     for k in range(kh * kw):
         i, j = divmod(k, kw)
