@@ -315,10 +315,13 @@ def bench_train(net_opt, batch, lr_size, scale=4, iters=4):
     return batch * (lr_size * scale) ** 2 / best / 1e6, batch * lr_size**2 / best
 
 
-def bench_dcn_train(iters=8, seqs=8):
+def bench_dcn_train(iters=8, seqs=8, dtype=None):
     """Fused DCN fwd+bwd at EDVR PCD sizes, ms (see scripts/bench_dcn.py for
     the full method A/B: the fused/one-hot path is ~380x the gather
-    formulation's training step on TPU).
+    formulation's training step on TPU). ``dtype=bfloat16`` measures the
+    mixed-precision variant (what an EDVR train step with dtype: bfloat16
+    actually runs): the hat-function sampler's dense row-interp matmuls are
+    the dominant cost and only reach full MXU rate in bf16.
 
     Measurement protocol (VERDICT r4 weak #3: best-of-3x8 showed a 5x
     round-to-round spread — 38.5 / 141.3 / 54.3 ms for the same shape):
@@ -331,11 +334,12 @@ def bench_dcn_train(iters=8, seqs=8):
     import numpy as np
     from basicsr4rs_tpu.ops.dcn import modulated_deform_conv
     n, h, c, dg = 8, 64, 64, 8
+    dt = jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32
     rs = np.random.RandomState(0)
-    x = jnp.asarray(rs.rand(n, h, h, c).astype(np.float32))
+    x = jnp.asarray(rs.rand(n, h, h, c).astype(np.float32)).astype(dt)
     offset = jnp.asarray((rs.rand(n, h, h, 2 * dg * 9) * 2 - 1).astype(np.float32))
-    mask = jnp.asarray(rs.rand(n, h, h, dg * 9).astype(np.float32))
-    weight = jnp.asarray((rs.rand(3, 3, c, c) * 0.1).astype(np.float32))
+    mask = jnp.asarray(rs.rand(n, h, h, dg * 9).astype(np.float32)).astype(dt)
+    weight = jnp.asarray((rs.rand(3, 3, c, c) * 0.1).astype(np.float32)).astype(dt)
 
     def loss(x, offset, mask, weight):
         return jnp.sum(modulated_deform_conv(x, offset, mask, weight,
@@ -706,7 +710,10 @@ def main():
         median, (lo, hi) = bench_dcn_train()
         extras['dcn_fwd_bwd_ms'] = round(median, 2)
         extras['dcn_fwd_bwd_ms_spread'] = [round(lo, 2), round(hi, 2)]
-    stage('dcn', 100, _dcn)
+        median_bf16, (lo16, hi16) = bench_dcn_train(dtype='bfloat16')
+        extras['dcn_fwd_bwd_bf16_ms'] = round(median_bf16, 2)
+        extras['dcn_fwd_bwd_bf16_ms_spread'] = [round(lo16, 2), round(hi16, 2)]
+    stage('dcn', 160, _dcn)
 
     def _edvr():
         ms = bench_video_step('edvr')

@@ -163,7 +163,6 @@ def run_torch(train, val, sched, args):
     net.train()
     opt_t = torch.optim.Adam(net.parameters(), lr=args.lr, betas=(0.9, 0.99))
     crit = torch.nn.L1Loss()
-    torch.set_num_threads(max(1, (__import__('os').cpu_count() or 4) - 1))
     t0 = time.time()
     first = last = None
     for it, entry in enumerate(sched):
