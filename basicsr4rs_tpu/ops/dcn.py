@@ -136,7 +136,22 @@ def _sampler(method: str):
 _BP = 128  # pixels per tile (sublane-major in every block)
 
 
-def _dcn_pallas_fwd_kernel(k2: int, cpg: int):
+def _tap_chunks(k2: int, which: str) -> int:
+    """Taps stacked per MXU call. Stacking turns per-tap (BP, HP) hat
+    matmuls into one (tc*BP, HP) matmul — the per-cell MXU-dispatch count
+    is the video-family bottleneck (r5 profile), and a 128-row M underfills
+    the MXU. The forward's working set is small enough to stack all 9 taps;
+    the backward holds ~5 (tc*BP, WC) f32 intermediates so it defaults to 3.
+    Env knobs DCN_TAP_CHUNK_FWD / _BWD override for experiments."""
+    import os
+    d = {'fwd': 9, 'bwd': 3}[which]
+    tc = int(os.environ.get(f'DCN_TAP_CHUNK_{which.upper()}', str(d)))
+    while k2 % tc:
+        tc -= 1
+    return max(tc, 1)
+
+
+def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int):
     def kernel(x_ref, pos_ref, out_ref):
         x = x_ref[0]                                         # (HP, WC)
         # bf16 inputs keep the hat matmuls in bf16 (f32 accumulation): the
@@ -153,20 +168,28 @@ def _dcn_pallas_fwd_kernel(k2: int, cpg: int):
         # 0/1 fold matrix: lane l contributes to channel l % cpg
         sfold = (jax.lax.broadcasted_iota(jnp.int32, (wc, cpg), 0) % cpg ==
                  jax.lax.broadcasted_iota(jnp.int32, (wc, cpg), 1)).astype(mdt)
-        for k in range(k2):
-            pyy = pos_ref[0, :, 2 * k:2 * k + 1].astype(jnp.float32)      # (BP, 1)
-            pxx = pos_ref[0, :, 2 * k + 1:2 * k + 2].astype(jnp.float32)
-            r = jnp.maximum(0., 1. - jnp.abs(h_iota - pyy))               # (BP, HP)
-            t = jnp.dot(r.astype(mdt), x, preferred_element_type=jnp.float32)
-            cw = jnp.maximum(0., 1. - jnp.abs(w_of_lane - pxx))
-            tap = jnp.dot((t * cw).astype(mdt), sfold,
-                          preferred_element_type=jnp.float32)
-            out_ref[0, k] = tap.T.astype(out_ref.dtype)                   # (cpg, BP)
+        for k0 in range(0, k2, tc):
+            rs, cws = [], []
+            for k in range(k0, k0 + tc):
+                pyy = pos_ref[0, :, 2 * k:2 * k + 1].astype(jnp.float32)  # (BP, 1)
+                pxx = pos_ref[0, :, 2 * k + 1:2 * k + 2].astype(jnp.float32)
+                rs.append(jnp.maximum(0., 1. - jnp.abs(h_iota - pyy)))    # (BP, HP)
+                cws.append(jnp.maximum(0., 1. - jnp.abs(w_of_lane - pxx)))
+            r_all = jnp.concatenate(rs, axis=0)                           # (tc*BP, HP)
+            cw_all = jnp.concatenate(cws, axis=0)                         # (tc*BP, WC)
+            t_all = jnp.dot(r_all.astype(mdt), x,
+                            preferred_element_type=jnp.float32)
+            tap_all = jnp.dot((t_all * cw_all).astype(mdt), sfold,
+                              preferred_element_type=jnp.float32)         # (tc*BP, cpg)
+            for i in range(tc):
+                out_ref[0, k0 + i] = (
+                    tap_all[i * _BP:(i + 1) * _BP].T.astype(out_ref.dtype))
 
     return kernel
 
 
-def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int):
+def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int,
+                           tc: int):
     from jax.experimental import pallas as pl
 
     def kernel(x_ref, xt_ref, pos_ref, g_ref, dx_ref, dpos_ref):
@@ -182,41 +205,59 @@ def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int):
         sfold_t = (jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 1) % cpg ==
                    jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 0)).astype(mdt)
         dx_acc = jnp.zeros((hp, wc), jnp.float32)
-        for k in range(k2):
-            pyy = pos_ref[0, :, 2 * k:2 * k + 1].astype(jnp.float32)
-            pxx = pos_ref[0, :, 2 * k + 1:2 * k + 2].astype(jnp.float32)
-            dy = h_iota - pyy
-            r = jnp.maximum(0., 1. - jnp.abs(dy)).astype(mdt)             # (BP, HP)
-            t = jnp.dot(r, x, preferred_element_type=jnp.float32)         # (BP, WC)
-            dw = w_of_lane - pxx
-            cw = jnp.maximum(0., 1. - jnp.abs(dw))
-            dtap = g_ref[0, k].astype(mdt).T                              # (BP, cpg)
-            dprod = jnp.dot(dtap, sfold_t, preferred_element_type=jnp.float32)  # (BP, WC)
-            dt = dprod * cw
-            dcw = dprod * t
-            dx_acc = dx_acc + jnp.dot(r.T, dt.astype(mdt),
-                                      preferred_element_type=jnp.float32)
-            dr = jnp.dot(dt.astype(mdt), xt, preferred_element_type=jnp.float32)  # (BP, HP)
+        for k0 in range(0, k2, tc):
+            # stack tc taps: one dot each for dprod/t/dx/dr instead of one
+            # per tap (see _tap_chunks)
+            rs, cws, dys, dws, dtaps = [], [], [], [], []
+            for k in range(k0, k0 + tc):
+                pyy = pos_ref[0, :, 2 * k:2 * k + 1].astype(jnp.float32)
+                pxx = pos_ref[0, :, 2 * k + 1:2 * k + 2].astype(jnp.float32)
+                dys.append(h_iota - pyy)
+                dws.append(w_of_lane - pxx)
+                rs.append(jnp.maximum(0., 1. - jnp.abs(dys[-1])))
+                cws.append(jnp.maximum(0., 1. - jnp.abs(dws[-1])))
+                dtaps.append(g_ref[0, k].astype(mdt).T)                   # (BP, cpg)
+            r_all = jnp.concatenate(rs, axis=0).astype(mdt)               # (tc*BP, HP)
+            cw_all = jnp.concatenate(cws, axis=0)
+            dy_all = jnp.concatenate(dys, axis=0)
+            dw_all = jnp.concatenate(dws, axis=0)
+            dtap_all = jnp.concatenate(dtaps, axis=0)
+            t_all = jnp.dot(r_all, x, preferred_element_type=jnp.float32)  # (tc*BP, WC)
+            dprod_all = jnp.dot(dtap_all, sfold_t,
+                                preferred_element_type=jnp.float32)
+            dt_all = dprod_all * cw_all
+            dcw_all = dprod_all * t_all
+            # dx += r^T @ dt, contracted over the stacked-row axis
+            dx_acc = dx_acc + jax.lax.dot_general(
+                r_all, dt_all.astype(mdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dr_all = jnp.dot(dt_all.astype(mdt), xt,
+                             preferred_element_type=jnp.float32)          # (tc*BP, HP)
             # d hat(d)/d pos, FLOOR convention: one-sided at integer
             # positions so the gradient matches the gather/onehot bilinear
             # paths (d out/d p = v[floor(p)+1] - v[floor(p)]). The naive
             # sign(d) on |d| < 1 is identically zero at integer positions —
             # and DCNv2Pack zero-inits its offset conv, so offsets would
             # never train (ADVICE r2, high).
-            gy = jnp.where((dy > 0.) & (dy <= 1.), 1.,
-                           jnp.where((dy > -1.) & (dy <= 0.), -1., 0.))
-            gx = jnp.where((dw > 0.) & (dw <= 1.), 1.,
-                           jnp.where((dw > -1.) & (dw <= 0.), -1., 0.))
-            # the gather/onehot paths zero the position gradient when the
-            # sample sits ON or outside the border (their `inside` mask is
-            # the open interval); match that convention (padded coords:
-            # valid iff pos in (0, hp_true-1))
-            vy = ((pyy > 0.) & (pyy < hp_true - 1.)).astype(jnp.float32)
-            vx = ((pxx > 0.) & (pxx < wp_true - 1.)).astype(jnp.float32)
-            dpos_ref[0, :, 2 * k:2 * k + 1] = (jnp.sum(
-                dr * gy, axis=1, keepdims=True) * vy).astype(dpos_ref.dtype)
-            dpos_ref[0, :, 2 * k + 1:2 * k + 2] = (jnp.sum(
-                dcw * gx, axis=1, keepdims=True) * vx).astype(dpos_ref.dtype)
+            gy = jnp.where((dy_all > 0.) & (dy_all <= 1.), 1.,
+                           jnp.where((dy_all > -1.) & (dy_all <= 0.), -1., 0.))
+            gx = jnp.where((dw_all > 0.) & (dw_all <= 1.), 1.,
+                           jnp.where((dw_all > -1.) & (dw_all <= 0.), -1., 0.))
+            dpy_all = jnp.sum(dr_all * gy, axis=1, keepdims=True)         # (tc*BP, 1)
+            dpx_all = jnp.sum(dcw_all * gx, axis=1, keepdims=True)
+            for i, k in enumerate(range(k0, k0 + tc)):
+                pyy = pos_ref[0, :, 2 * k:2 * k + 1].astype(jnp.float32)
+                pxx = pos_ref[0, :, 2 * k + 1:2 * k + 2].astype(jnp.float32)
+                # the gather/onehot paths zero the position gradient when
+                # the sample sits ON or outside the border (their `inside`
+                # mask is the open interval); match that convention (padded
+                # coords: valid iff pos in (0, hp_true-1))
+                vy = ((pyy > 0.) & (pyy < hp_true - 1.)).astype(jnp.float32)
+                vx = ((pxx > 0.) & (pxx < wp_true - 1.)).astype(jnp.float32)
+                dpos_ref[0, :, 2 * k:2 * k + 1] = (
+                    dpy_all[i * _BP:(i + 1) * _BP] * vy).astype(dpos_ref.dtype)
+                dpos_ref[0, :, 2 * k + 1:2 * k + 2] = (
+                    dpx_all[i * _BP:(i + 1) * _BP] * vx).astype(dpos_ref.dtype)
 
         @pl.when(pl.program_id(1) == 0)
         def _():
@@ -253,7 +294,7 @@ def _sample_all_pallas_impl(xg_pad, pos, interpret=False):
     p, k2 = pos.shape[1], pos.shape[2] // 2
     x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg)
     out = pl.pallas_call(
-        _dcn_pallas_fwd_kernel(k2, cpg),
+        _dcn_pallas_fwd_kernel(k2, cpg, _tap_chunks(k2, 'fwd')),
         grid=(g, p_pad // _BP),
         in_specs=[
             pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
@@ -275,7 +316,7 @@ def _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret=False):
     xt = jnp.swapaxes(x2, 1, 2)
     grad_p = jnp.pad(grad.astype(xg_pad.dtype), ((0, 0), (0, 0), (0, 0), (0, p_pad - p)))
     dx, dpos = pl.pallas_call(
-        _dcn_pallas_bwd_kernel(k2, cpg, hp, wp),
+        _dcn_pallas_bwd_kernel(k2, cpg, hp, wp, _tap_chunks(k2, 'bwd')),
         grid=(g, p_pad // _BP),
         in_specs=[
             pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),

@@ -396,15 +396,22 @@ def _load_script(name):
     return mod
 
 
-def bench_video_step(which, iters=3):
+def bench_video_step(which, iters=3, batch=None, dtype='bfloat16'):
     """One video-family full train-step, ms (same configs as
     scripts/bench_video.py — driver-captured so the judge can re-derive the
     video-family numbers from BENCH artifacts, VERDICT r2 #6). Split per
-    model so the budget check can skip each independently."""
+    model so the budget check can skip each independently. Mixed-precision
+    bf16 by default — the same convention as the image-family train
+    benches; the r5 batch/dtype sweep (scripts/sweep_video_train.py) is
+    recorded in docs/Performance.md."""
     mod = _load_script('bench_video.py')
     if which == 'edvr':
-        return mod.bench('edvr', batch=4, frames=5, lr_size=64, iters=iters)['step_ms']
-    return mod.bench('basicvsrpp', batch=2, frames=7, lr_size=64, iters=iters)['step_ms']
+        r = mod.bench('edvr', batch=batch or 4, frames=5, lr_size=64,
+                      iters=iters, dtype=dtype)
+    else:
+        r = mod.bench('basicvsrpp', batch=batch or 2, frames=7, lr_size=64,
+                      iters=iters, dtype=dtype)
+    return r['step_ms'], r['batch']
 
 
 def bench_resshift_sampling(steps=15, reps=3):
@@ -716,18 +723,20 @@ def main():
     stage('dcn', 160, _dcn)
 
     def _edvr():
-        ms = bench_video_step('edvr')
+        ms, b = bench_video_step('edvr')
         extras['edvr_m_train_step_ms'] = round(ms, 1)
+        extras['edvr_m_train_batch'] = b
         if peak:
-            fl = 3 * 4 * 64 * 64 * edvr_m_flops_per_lr_pixel_clip()
+            fl = 3 * b * 64 * 64 * edvr_m_flops_per_lr_pixel_clip()
             extras['edvr_m_train_mfu'] = round(fl / (ms / 1e3) / peak, 4)
     stage('edvr_train_step', 280, _edvr)
 
     def _vpp():
-        ms = bench_video_step('basicvsrpp')
+        ms, b = bench_video_step('basicvsrpp')
         extras['basicvsrpp_train_step_ms'] = round(ms, 1)
+        extras['basicvsrpp_train_batch'] = b
         if peak:
-            fl = 3 * 2 * 7 * 64 * 64 * basicvsrpp_flops_per_lr_pixel_frame(t=7)
+            fl = 3 * b * 7 * 64 * 64 * basicvsrpp_flops_per_lr_pixel_frame(t=7)
             extras['basicvsrpp_train_mfu'] = round(fl / (ms / 1e3) / peak, 4)
     stage('basicvsrpp_train_step', 500, _vpp)
 
