@@ -358,12 +358,15 @@ class SwinTransformerBlock(nn.Module):
         # The whole block (attn + MLP, both residuals) in ONE Pallas call —
         # removes the kernel-boundary HBM round trip of the post-attention
         # activation. Inference routes here when both DropPaths are
-        # identity; training routes here too (VERDICT r4 weak #4), with the
-        # per-sample stochastic-depth scales folded into the kernel and a
-        # flash-style VJP that recomputes the post-attention activation
-        # (ops/swin_block.py _fused_joint_scaled_vjp).
-        from ..ops.swin_block import joint_block_enabled
-        if (fold_residual or fold_scaled) and joint_block_enabled():
+        # identity. Training CAN route here (per-sample stochastic-depth
+        # scales folded into the kernel, flash-style scaled VJP —
+        # ops/swin_block.py _fused_joint_scaled_vjp) but defaults to the
+        # two-kernel split: the joint VJP's attention recompute measured
+        # 12% slower than the split's HBM round trip at SwinIR-M train
+        # shapes (A/B in docs/Performance.md; SWIN_JOINT_TRAIN=1 to flip).
+        from ..ops.swin_block import joint_block_enabled, joint_train_enabled
+        if ((fold_residual or fold_scaled) and joint_block_enabled()
+                and (deterministic or joint_train_enabled())):
             ln2_scale, ln2_bias = LNParams(self.dim, name='norm2')()
             w1, b1, w2, b2 = MlpParams(self.dim, int(self.dim * self.mlp_ratio),
                                        name='mlp')()

@@ -621,6 +621,17 @@ def joint_block_enabled() -> bool:
     return os.environ.get('SWIN_JOINT', '1') != '0'
 
 
+def joint_train_enabled() -> bool:
+    """Whether TRAINING also routes through the joint kernel. Default off:
+    the joint VJP's flash-style attention recompute costs more than the
+    split path's HBM round trip at SwinIR-M train shapes — measured
+    same-session A/B at B24x64px on v5e: joint 6.49 MP/s (MFU 0.161) vs
+    split 7.30 MP/s (MFU 0.182). See docs/Performance.md. SWIN_JOINT_TRAIN=1
+    to experiment at other geometries."""
+    import os
+    return os.environ.get('SWIN_JOINT_TRAIN', '0') == '1'
+
+
 def _head_loop() -> bool:
     """Experiment knob: per-head static loop instead of the axis-0
     head-concat batched attention (SWIN_HEAD_LOOP=1)."""

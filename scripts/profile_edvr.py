@@ -87,7 +87,8 @@ def model_ms(batch, frames, dtype, no_dcn=False):
                   dilation=1, groups=1, deform_groups=1, method='auto'):
             import jax.numpy as jnp
             out = jax.lax.conv_general_dilated(
-                x, weight, (stride, stride), [(padding, padding)] * 2,
+                x, weight.astype(x.dtype), (stride, stride),
+                [(padding, padding)] * 2,
                 rhs_dilation=(dilation, dilation),
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                 feature_group_count=groups)
@@ -125,8 +126,10 @@ def main():
     dcn_fwd, dcn_bwd = dcn_sites_ms(args.batch, args.frames, args.dtype)
     out['dcn_sites_fwd_ms'] = round(dcn_fwd, 1)
     out['dcn_sites_fwd_bwd_ms'] = round(dcn_bwd, 1)
+    print(json.dumps(out), flush=True)  # partial: survive later-stage crashes
     if not args.skip_full:
         out['full_step_ms'] = round(model_ms(args.batch, args.frames, dtype), 1)
+        print(json.dumps(out), flush=True)
         out['no_dcn_step_ms'] = round(
             model_ms(args.batch, args.frames, dtype, no_dcn=True), 1)
         out['dcn_share'] = round(
