@@ -151,9 +151,21 @@ def _tap_chunks(k2: int, which: str) -> int:
     return max(tc, 1)
 
 
-def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int):
-    def kernel(x_ref, pos_ref, out_ref):
-        x = x_ref[0]                                         # (HP, WC)
+def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int, win: int = 0):
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, pos_ref, *rest):
+        # windowed variant (win>0): contract only the `win`-row slab
+        # [rb, rb+win) around this tile's samples (rb from the SMEM plan
+        # array, 8-aligned; the caller's lax.cond guarantees coverage)
+        if win:
+            rb_ref, out_ref = rest
+            rb = pl.multiple_of(rb_ref[pl.program_id(0), pl.program_id(1)], 8)
+            x = x_ref[0, pl.ds(rb, win), :]
+        else:
+            out_ref, = rest
+            rb = 0
+            x = x_ref[0]                                     # (HP, WC)
         # bf16 inputs keep the hat matmuls in bf16 (f32 accumulation): the
         # MXU runs bf16 at a multiple of the f32 rate and hat weights in
         # [0, 1] lose only 2^-9 relative — the same rounding every nn.Conv
@@ -162,7 +174,8 @@ def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int):
         mdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
         x = x.astype(mdt)
         hp, wc = x.shape
-        h_iota = jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1).astype(jnp.float32)
+        h_iota = (jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1)
+                  + rb).astype(jnp.float32)
         w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (_BP, wc), 1)
                      // cpg).astype(jnp.float32)
         # 0/1 fold matrix: lane l contributes to channel l % cpg
@@ -189,22 +202,36 @@ def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int):
 
 
 def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int,
-                           tc: int):
+                           tc: int, win: int = 0):
     from jax.experimental import pallas as pl
 
-    def kernel(x_ref, xt_ref, pos_ref, g_ref, dx_ref, dpos_ref):
+    def kernel(x_ref, *rest):
         # same bf16-matmul convention as the forward kernel (gradients
         # accumulate in f32 output blocks either way)
         mdt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
-        x = x_ref[0].astype(mdt)                             # (HP, WC)
-        xt = xt_ref[0].astype(mdt)                           # (WC, HP)
+        if win:
+            # windowed: no transposed-slab input (dr contracts the lane dim
+            # of the window slab directly); dx accumulates into the full-
+            # height accumulator through a dynamic row slice
+            pos_ref, g_ref, rb_ref, dx_ref, dpos_ref = rest
+            rb = pl.multiple_of(rb_ref[pl.program_id(0), pl.program_id(1)], 8)
+            x = x_ref[0, pl.ds(rb, win), :].astype(mdt)      # (win, WC)
+            xt = None
+        else:
+            xt_ref, pos_ref, g_ref, dx_ref, dpos_ref = rest
+            rb = 0
+            x = x_ref[0].astype(mdt)                         # (HP, WC)
+            xt = xt_ref[0].astype(mdt)                       # (WC, HP)
         hp, wc = x.shape
-        h_iota = jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1).astype(jnp.float32)
+        hp_full = x_ref.shape[1]
+        h_iota = (jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1)
+                  + rb).astype(jnp.float32)
         w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (_BP, wc), 1)
                      // cpg).astype(jnp.float32)
         sfold_t = (jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 1) % cpg ==
                    jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 0)).astype(mdt)
-        dx_acc = jnp.zeros((hp, wc), jnp.float32)
+        dx_acc = jnp.zeros((hp_full, wc), jnp.float32) if not win else None
+        dx_win_acc = jnp.zeros((win, wc), jnp.float32) if win else None
         for k0 in range(0, k2, tc):
             # stack tc taps: one dot each for dprod/t/dx/dr instead of one
             # per tap (see _tap_chunks)
@@ -228,11 +255,20 @@ def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int,
             dt_all = dprod_all * cw_all
             dcw_all = dprod_all * t_all
             # dx += r^T @ dt, contracted over the stacked-row axis
-            dx_acc = dx_acc + jax.lax.dot_general(
+            dx_part = jax.lax.dot_general(
                 r_all, dt_all.astype(mdt), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dr_all = jnp.dot(dt_all.astype(mdt), xt,
-                             preferred_element_type=jnp.float32)          # (tc*BP, HP)
+            if win:
+                dx_win_acc = dx_win_acc + dx_part
+                # dr = dt @ x^T via lane-dim contraction of the window slab
+                # (no transposed input needed)
+                dr_all = jax.lax.dot_general(
+                    dt_all.astype(mdt), x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)                   # (tc*BP, win)
+            else:
+                dx_acc = dx_acc + dx_part
+                dr_all = jnp.dot(dt_all.astype(mdt), xt,
+                                 preferred_element_type=jnp.float32)      # (tc*BP, HP)
             # d hat(d)/d pos, FLOOR convention: one-sided at integer
             # positions so the gradient matches the gather/onehot bilinear
             # paths (d out/d p = v[floor(p)+1] - v[floor(p)]). The naive
@@ -259,13 +295,20 @@ def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int,
                 dpos_ref[0, :, 2 * k + 1:2 * k + 2] = (
                     dpx_all[i * _BP:(i + 1) * _BP] * vx).astype(dpos_ref.dtype)
 
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            dx_ref[0] = dx_acc.astype(dx_ref.dtype)
+        if win:
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                dx_ref[0] = jnp.zeros(dx_ref.shape[1:], dx_ref.dtype)
+            cur = dx_ref[0, pl.ds(rb, win), :]
+            dx_ref[0, pl.ds(rb, win), :] = cur + dx_win_acc.astype(dx_ref.dtype)
+        else:
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                dx_ref[0] = dx_acc.astype(dx_ref.dtype)
 
-        @pl.when(pl.program_id(1) != 0)
-        def _():
-            dx_ref[0] = dx_ref[0] + dx_acc.astype(dx_ref.dtype)
+            @pl.when(pl.program_id(1) != 0)
+            def _():
+                dx_ref[0] = dx_ref[0] + dx_acc.astype(dx_ref.dtype)
 
     return kernel
 
@@ -281,63 +324,143 @@ def _pallas_pack(xg_pad, pos, k2, cpg):
     p_pad = -(-p // _BP) * _BP
     x2 = jnp.pad(xg_pad.reshape(g, hp, wc),
                  ((0, 0), (0, hp_pad - hp), (0, wc_pad - wc)))
-    # out-of-support position: hat weight is zero everywhere
-    pos_p = jnp.pad(pos, ((0, 0), (0, p_pad - p), (0, 0)),
-                    constant_values=-10.0)
+    # EDGE padding: padded pixels' outputs/grad-columns are sliced off /
+    # zero, so any value is correct — edge replication keeps the per-tile
+    # row min/max (the windowed path's block selector) undistorted.
+    pos_p = jnp.pad(pos, ((0, 0), (0, p_pad - p), (0, 0)), mode='edge')
     return x2, pos_p, hp_pad, wc_pad, p_pad
+
+
+def _row_window() -> int:
+    """Height of the windowed sampler's row slab (DCN_ROW_WINDOW, 0=off).
+
+    The hat-function row-interp matmul runs over the FULL padded height —
+    but a 128-pixel tile spans only a couple of image rows, and trained DCN
+    offsets are a few pixels, so per tile the hat matrix is nonzero in a
+    narrow row band. The windowed kernels compute each tile's band start
+    (8-aligned, from the per-tile position min) host^W trace-side and
+    contract only ``win`` rows: at EDVR L1 geometry this is a 72->24-row cut
+    in the dominant matmuls. Exactness: a lax.cond falls back to the
+    full-height kernels whenever ANY tile's tap span exceeds the window
+    (large offsets), so semantics are identical to the full path."""
+    import os
+    return int(os.environ.get('DCN_ROW_WINDOW', '24'))
+
+
+def _row_window_plan(pos_p, g, t, k2, hp_pad, win):
+    """Per-tile 8-aligned row-window starts (G, T) i32 plus a scalar 'every
+    tile fits' predicate. Needed rows for a sample at position p are
+    {floor(p), floor(p)+1} clipped to the existing [0, hp_pad) range."""
+    py = pos_p[..., 0::2].reshape(g, t, _BP, k2)
+    fmin = jnp.clip(jnp.floor(py.min(axis=(2, 3))), 0., hp_pad - 1.)
+    fmax = jnp.clip(jnp.floor(py.max(axis=(2, 3))) + 1., 0., hp_pad - 1.)
+    rb = jnp.clip((fmin // 8.) * 8., 0., float(max(hp_pad - win, 0)))
+    fits = jnp.all(fmax - rb <= win - 1)
+    return rb.astype(jnp.int32), fits
 
 
 def _sample_all_pallas_impl(xg_pad, pos, interpret=False):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     g, hp, wp, cpg = xg_pad.shape
     p, k2 = pos.shape[1], pos.shape[2] // 2
     x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg)
-    out = pl.pallas_call(
-        _dcn_pallas_fwd_kernel(k2, cpg, _tap_chunks(k2, 'fwd')),
-        grid=(g, p_pad // _BP),
-        in_specs=[
-            pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
-            pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, k2, cpg, _BP), lambda gi, pi: (gi, 0, 0, pi)),
-        out_shape=jax.ShapeDtypeStruct((g, k2, cpg, p_pad), xg_pad.dtype),
-        interpret=interpret,
-    )(x2, pos_p)
+    tiles = p_pad // _BP
+    out_shape = jax.ShapeDtypeStruct((g, k2, cpg, p_pad), xg_pad.dtype)
+    out_spec = pl.BlockSpec((1, k2, cpg, _BP), lambda gi, pi: (gi, 0, 0, pi))
+    base_specs = [
+        pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
+        pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
+    ]
+
+    def full():
+        return pl.pallas_call(
+            _dcn_pallas_fwd_kernel(k2, cpg, _tap_chunks(k2, 'fwd')),
+            grid=(g, tiles),
+            in_specs=base_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x2, pos_p)
+
+    win = _row_window()
+    if not win or hp_pad <= win:
+        return full()[..., :p]
+    rb, fits = _row_window_plan(pos_p, g, tiles, k2, hp_pad, win)
+
+    def windowed():
+        return pl.pallas_call(
+            _dcn_pallas_fwd_kernel(k2, cpg, _tap_chunks(k2, 'fwd'), win=win),
+            grid=(g, tiles),
+            in_specs=base_specs + [
+                pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x2, pos_p, rb)
+
+    out = jax.lax.cond(fits, windowed, full)
     return out[..., :p]                                      # (G, K2, cpg, P)
 
 
 def _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret=False):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     g, hp, wp, cpg = xg_pad.shape
     p, k2 = pos.shape[1], pos.shape[2] // 2
     x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg)
-    xt = jnp.swapaxes(x2, 1, 2)
+    tiles = p_pad // _BP
     grad_p = jnp.pad(grad.astype(xg_pad.dtype), ((0, 0), (0, 0), (0, 0), (0, p_pad - p)))
-    dx, dpos = pl.pallas_call(
-        _dcn_pallas_bwd_kernel(k2, cpg, hp, wp, _tap_chunks(k2, 'bwd')),
-        grid=(g, p_pad // _BP),
-        in_specs=[
-            pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
-            pl.BlockSpec((1, wc_pad, hp_pad), lambda gi, pi: (gi, 0, 0)),
-            pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
-            pl.BlockSpec((1, k2, cpg, _BP), lambda gi, pi: (gi, 0, 0, pi)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
-            pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
-        ],
-        out_shape=[
-            # dx accumulates across pixel-tile grid revisits — keep the
-            # accumulator f32 (a serial bf16 accumulation would lose input-
-            # gradient precision vs the f32 onehot/gather paths; ADVICE r2)
-            # and cast to the input dtype once after the call.
-            jax.ShapeDtypeStruct((g, hp_pad, wc_pad), jnp.float32),
-            jax.ShapeDtypeStruct((g, p_pad, 2 * k2), pos.dtype),
-        ],
-        interpret=interpret,
-    )(x2, xt, pos_p, grad_p)
+    x_spec = pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0))
+    pos_spec = pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0))
+    g_spec = pl.BlockSpec((1, k2, cpg, _BP), lambda gi, pi: (gi, 0, 0, pi))
+    out_specs = [
+        pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
+        pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
+    ]
+    out_shape = [
+        # dx accumulates across pixel-tile grid revisits — keep the
+        # accumulator f32 (a serial bf16 accumulation would lose input-
+        # gradient precision vs the f32 onehot/gather paths; ADVICE r2)
+        # and cast to the input dtype once after the call.
+        jax.ShapeDtypeStruct((g, hp_pad, wc_pad), jnp.float32),
+        jax.ShapeDtypeStruct((g, p_pad, 2 * k2), pos.dtype),
+    ]
+
+    def full():
+        xt = jnp.swapaxes(x2, 1, 2)
+        return pl.pallas_call(
+            _dcn_pallas_bwd_kernel(k2, cpg, hp, wp, _tap_chunks(k2, 'bwd')),
+            grid=(g, tiles),
+            in_specs=[x_spec,
+                      pl.BlockSpec((1, wc_pad, hp_pad), lambda gi, pi: (gi, 0, 0)),
+                      pos_spec, g_spec],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x2, xt, pos_p, grad_p)
+
+    win = _row_window()
+    if not win or hp_pad <= win:
+        dx, dpos = full()
+    else:
+        rb, fits = _row_window_plan(pos_p, g, tiles, k2, hp_pad, win)
+
+        def windowed():
+            return pl.pallas_call(
+                _dcn_pallas_bwd_kernel(k2, cpg, hp, wp,
+                                       _tap_chunks(k2, 'bwd'), win=win),
+                grid=(g, tiles),
+                in_specs=[x_spec, pos_spec, g_spec,
+                          pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(x2, pos_p, grad_p, rb)
+
+        dx, dpos = jax.lax.cond(fits, windowed, full)
     wc = wp * cpg
     dx = dx[:, :hp, :wc].reshape(g, hp, wp, cpg).astype(xg_pad.dtype)
     return dx, dpos[:, :p]

@@ -98,10 +98,13 @@ def pytest_collection_modifyitems(config, items):
     # Tier-list hygiene (VERDICT r4 weak #5): a renamed/removed test must
     # not silently fall out of the slow tier. Only ids whose FILE was
     # collected can be judged stale — running a subset of the suite must
-    # not trip this.
+    # not trip this — and explicit node-id / -k selection (which collects
+    # only the chosen tests from a file) skips the check entirely.
+    narrowed = (any('::' in str(a) for a in config.invocation_params.args)
+                or bool(config.getoption('keyword', '')))
     stale = {nid for nid in _SLOW_IDS
              if nid.split('::')[0] in collected_files and nid not in matched}
-    if stale:
+    if stale and not narrowed:
         raise pytest.UsageError(
             'tests/conftest.py _SLOW_IDS entries match no collected test '
             '(renamed or removed?): ' + ', '.join(sorted(stale)))
