@@ -6,7 +6,7 @@ autograd wrappers in ops/dcn/deform_conv.py:121-374). Three interchangeable
 bilinear samplers sit behind one API:
 
 - **Pallas fused sampler** (TPU default when the per-group feature slab fits
-  VMEM): all K*K taps per 128-pixel tile with the slab VMEM-resident;
+  VMEM): all K*K taps per DCN_BP-pixel tile with the slab VMEM-resident;
   bilinear weights are hat functions relu(1-|pos-idx|) (row interpolation as
   an MXU matmul, column interpolation a VPU reduction), with hand-written
   forward AND backward kernels behind a custom VJP. 2x the one-hot
@@ -124,7 +124,7 @@ def _sampler(method: str):
 
 
 # ---------------------------------------------------------------------------
-# Pallas fused sampler: all K*K taps per 128-pixel tile with the feature slab
+# Pallas fused sampler: all K*K taps per DCN_BP-pixel tile with the feature slab
 # resident in VMEM. Bilinear weights are hat functions relu(1 - |pos - idx|),
 # which — together with the zero pad ring — reproduce zero-padding border
 # semantics with no clipping or inside-mask at all. Row interpolation is an
@@ -133,25 +133,34 @@ def _sampler(method: str):
 # (deform_conv_cuda_kernel.cu:191) at ~matmul speed; see scripts/bench_dcn.py.
 # ---------------------------------------------------------------------------
 
-_BP = 128  # pixels per tile (sublane-major in every block)
-
-
-def _tap_chunks(k2: int, which: str) -> int:
-    """Taps stacked per MXU call. Stacking turns per-tap (BP, HP) hat
-    matmuls into one (tc*BP, HP) matmul — the per-cell MXU-dispatch count
-    is the video-family bottleneck (r5 profile), and a 128-row M underfills
-    the MXU. The forward's working set is small enough to stack all 9 taps;
-    the backward holds ~5 (tc*BP, WC) f32 intermediates so it defaults to 3.
-    Env knobs DCN_TAP_CHUNK_FWD / _BWD override for experiments."""
+def _bp() -> int:
+    """Pixels per grid cell (env DCN_BP). The r5 profile showed the sampler
+    is bound by a ~3-6 us per-grid-cell floor (DMA issue + grid
+    bookkeeping), not by matmul width — windowing the row contraction
+    72->24 changed nothing while cells scale linearly with batch. Fewer,
+    bigger cells is the lever: 512 cuts the cell count 4x vs the original
+    128 and fills the MXU M-dim outright."""
     import os
-    d = {'fwd': 9, 'bwd': 3}[which]
+    return int(os.environ.get('DCN_BP', '512'))
+
+
+def _tap_chunks(k2: int, which: str, bp: int) -> int:
+    """Taps stacked per MXU call. Stacking turns per-tap (bp, HP) hat
+    matmuls into one (tc*bp, HP) matmul — fewer MXU dispatches per cell.
+    The stacked working set holds several (tc*bp, WC) f32 intermediates,
+    so the row budget is capped (~1152 rows fwd / ~384 bwd at the EDVR
+    WC=640 geometry fits comfortably in VMEM). Env knobs
+    DCN_TAP_CHUNK_FWD / _BWD override for experiments."""
+    import os
+    cap = {'fwd': 1152, 'bwd': 384}[which]
+    d = max(1, min(k2, cap // bp))
     tc = int(os.environ.get(f'DCN_TAP_CHUNK_{which.upper()}', str(d)))
     while k2 % tc:
         tc -= 1
     return max(tc, 1)
 
 
-def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int, win: int = 0):
+def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int, bp: int, win: int = 0):
     from jax.experimental import pallas as pl
 
     def kernel(x_ref, pos_ref, *rest):
@@ -174,9 +183,9 @@ def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int, win: int = 0):
         mdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
         x = x.astype(mdt)
         hp, wc = x.shape
-        h_iota = (jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1)
+        h_iota = (jax.lax.broadcasted_iota(jnp.int32, (bp, hp), 1)
                   + rb).astype(jnp.float32)
-        w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (_BP, wc), 1)
+        w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (bp, wc), 1)
                      // cpg).astype(jnp.float32)
         # 0/1 fold matrix: lane l contributes to channel l % cpg
         sfold = (jax.lax.broadcasted_iota(jnp.int32, (wc, cpg), 0) % cpg ==
@@ -196,13 +205,13 @@ def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int, win: int = 0):
                               preferred_element_type=jnp.float32)         # (tc*BP, cpg)
             for i in range(tc):
                 out_ref[0, k0 + i] = (
-                    tap_all[i * _BP:(i + 1) * _BP].T.astype(out_ref.dtype))
+                    tap_all[i * bp:(i + 1) * bp].T.astype(out_ref.dtype))
 
     return kernel
 
 
 def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int,
-                           tc: int, win: int = 0):
+                           tc: int, bp: int, win: int = 0):
     from jax.experimental import pallas as pl
 
     def kernel(x_ref, *rest):
@@ -224,9 +233,9 @@ def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int,
             xt = xt_ref[0].astype(mdt)                       # (WC, HP)
         hp, wc = x.shape
         hp_full = x_ref.shape[1]
-        h_iota = (jax.lax.broadcasted_iota(jnp.int32, (_BP, hp), 1)
+        h_iota = (jax.lax.broadcasted_iota(jnp.int32, (bp, hp), 1)
                   + rb).astype(jnp.float32)
-        w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (_BP, wc), 1)
+        w_of_lane = (jax.lax.broadcasted_iota(jnp.int32, (bp, wc), 1)
                      // cpg).astype(jnp.float32)
         sfold_t = (jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 1) % cpg ==
                    jax.lax.broadcasted_iota(jnp.int32, (cpg, wc), 0)).astype(mdt)
@@ -291,9 +300,9 @@ def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int,
                 vy = ((pyy > 0.) & (pyy < hp_true - 1.)).astype(jnp.float32)
                 vx = ((pxx > 0.) & (pxx < wp_true - 1.)).astype(jnp.float32)
                 dpos_ref[0, :, 2 * k:2 * k + 1] = (
-                    dpy_all[i * _BP:(i + 1) * _BP] * vy).astype(dpos_ref.dtype)
+                    dpy_all[i * bp:(i + 1) * bp] * vy).astype(dpos_ref.dtype)
                 dpos_ref[0, :, 2 * k + 1:2 * k + 2] = (
-                    dpx_all[i * _BP:(i + 1) * _BP] * vx).astype(dpos_ref.dtype)
+                    dpx_all[i * bp:(i + 1) * bp] * vx).astype(dpos_ref.dtype)
 
         if win:
             @pl.when(pl.program_id(1) == 0)
@@ -313,7 +322,7 @@ def _dcn_pallas_bwd_kernel(k2: int, cpg: int, hp_true: int, wp_true: int,
     return kernel
 
 
-def _pallas_pack(xg_pad, pos, k2, cpg):
+def _pallas_pack(xg_pad, pos, k2, cpg, bp):
     """Shared shape plumbing for the fwd/bwd pallas calls. Returns padded
     operands plus the grid/block machinery inputs."""
     g, hp, wp, _ = xg_pad.shape
@@ -321,7 +330,7 @@ def _pallas_pack(xg_pad, pos, k2, cpg):
     hp_pad = -(-hp // 8) * 8
     wc = wp * cpg
     wc_pad = -(-wc // 128) * 128
-    p_pad = -(-p // _BP) * _BP
+    p_pad = -(-p // bp) * bp
     x2 = jnp.pad(xg_pad.reshape(g, hp, wc),
                  ((0, 0), (0, hp_pad - hp), (0, wc_pad - wc)))
     # EDGE padding: padded pixels' outputs/grad-columns are sliced off /
@@ -347,11 +356,11 @@ def _row_window() -> int:
     return int(os.environ.get('DCN_ROW_WINDOW', '24'))
 
 
-def _row_window_plan(pos_p, g, t, k2, hp_pad, win):
+def _row_window_plan(pos_p, g, t, k2, hp_pad, win, bp):
     """Per-tile 8-aligned row-window starts (G, T) i32 plus a scalar 'every
     tile fits' predicate. Needed rows for a sample at position p are
     {floor(p), floor(p)+1} clipped to the existing [0, hp_pad) range."""
-    py = pos_p[..., 0::2].reshape(g, t, _BP, k2)
+    py = pos_p[..., 0::2].reshape(g, t, bp, k2)
     fmin = jnp.clip(jnp.floor(py.min(axis=(2, 3))), 0., hp_pad - 1.)
     fmax = jnp.clip(jnp.floor(py.max(axis=(2, 3))) + 1., 0., hp_pad - 1.)
     rb = jnp.clip((fmin // 8.) * 8., 0., float(max(hp_pad - win, 0)))
@@ -365,18 +374,19 @@ def _sample_all_pallas_impl(xg_pad, pos, interpret=False):
 
     g, hp, wp, cpg = xg_pad.shape
     p, k2 = pos.shape[1], pos.shape[2] // 2
-    x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg)
-    tiles = p_pad // _BP
+    bp = _bp()
+    x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg, bp)
+    tiles = p_pad // bp
     out_shape = jax.ShapeDtypeStruct((g, k2, cpg, p_pad), xg_pad.dtype)
-    out_spec = pl.BlockSpec((1, k2, cpg, _BP), lambda gi, pi: (gi, 0, 0, pi))
+    out_spec = pl.BlockSpec((1, k2, cpg, bp), lambda gi, pi: (gi, 0, 0, pi))
     base_specs = [
         pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
-        pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
+        pl.BlockSpec((1, bp, 2 * k2), lambda gi, pi: (gi, pi, 0)),
     ]
 
     def full():
         return pl.pallas_call(
-            _dcn_pallas_fwd_kernel(k2, cpg, _tap_chunks(k2, 'fwd')),
+            _dcn_pallas_fwd_kernel(k2, cpg, _tap_chunks(k2, 'fwd', bp), bp),
             grid=(g, tiles),
             in_specs=base_specs,
             out_specs=out_spec,
@@ -387,11 +397,12 @@ def _sample_all_pallas_impl(xg_pad, pos, interpret=False):
     win = _row_window()
     if not win or hp_pad <= win:
         return full()[..., :p]
-    rb, fits = _row_window_plan(pos_p, g, tiles, k2, hp_pad, win)
+    rb, fits = _row_window_plan(pos_p, g, tiles, k2, hp_pad, win, bp)
 
     def windowed():
         return pl.pallas_call(
-            _dcn_pallas_fwd_kernel(k2, cpg, _tap_chunks(k2, 'fwd'), win=win),
+            _dcn_pallas_fwd_kernel(k2, cpg, _tap_chunks(k2, 'fwd', bp), bp,
+                                   win=win),
             grid=(g, tiles),
             in_specs=base_specs + [
                 pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -410,15 +421,16 @@ def _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret=False):
 
     g, hp, wp, cpg = xg_pad.shape
     p, k2 = pos.shape[1], pos.shape[2] // 2
-    x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg)
-    tiles = p_pad // _BP
+    bp = _bp()
+    x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg, bp)
+    tiles = p_pad // bp
     grad_p = jnp.pad(grad.astype(xg_pad.dtype), ((0, 0), (0, 0), (0, 0), (0, p_pad - p)))
     x_spec = pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0))
-    pos_spec = pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0))
-    g_spec = pl.BlockSpec((1, k2, cpg, _BP), lambda gi, pi: (gi, 0, 0, pi))
+    pos_spec = pl.BlockSpec((1, bp, 2 * k2), lambda gi, pi: (gi, pi, 0))
+    g_spec = pl.BlockSpec((1, k2, cpg, bp), lambda gi, pi: (gi, 0, 0, pi))
     out_specs = [
         pl.BlockSpec((1, hp_pad, wc_pad), lambda gi, pi: (gi, 0, 0)),
-        pl.BlockSpec((1, _BP, 2 * k2), lambda gi, pi: (gi, pi, 0)),
+        pl.BlockSpec((1, bp, 2 * k2), lambda gi, pi: (gi, pi, 0)),
     ]
     out_shape = [
         # dx accumulates across pixel-tile grid revisits — keep the
@@ -432,7 +444,8 @@ def _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret=False):
     def full():
         xt = jnp.swapaxes(x2, 1, 2)
         return pl.pallas_call(
-            _dcn_pallas_bwd_kernel(k2, cpg, hp, wp, _tap_chunks(k2, 'bwd')),
+            _dcn_pallas_bwd_kernel(k2, cpg, hp, wp,
+                                   _tap_chunks(k2, 'bwd', bp), bp),
             grid=(g, tiles),
             in_specs=[x_spec,
                       pl.BlockSpec((1, wc_pad, hp_pad), lambda gi, pi: (gi, 0, 0)),
@@ -446,12 +459,13 @@ def _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret=False):
     if not win or hp_pad <= win:
         dx, dpos = full()
     else:
-        rb, fits = _row_window_plan(pos_p, g, tiles, k2, hp_pad, win)
+        rb, fits = _row_window_plan(pos_p, g, tiles, k2, hp_pad, win, bp)
 
         def windowed():
             return pl.pallas_call(
                 _dcn_pallas_bwd_kernel(k2, cpg, hp, wp,
-                                       _tap_chunks(k2, 'bwd'), win=win),
+                                       _tap_chunks(k2, 'bwd', bp), bp,
+                                       win=win),
                 grid=(g, tiles),
                 in_specs=[x_spec, pos_spec, g_spec,
                           pl.BlockSpec(memory_space=pltpu.SMEM)],
