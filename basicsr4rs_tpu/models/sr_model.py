@@ -181,7 +181,6 @@ class SRModel(BaseModel):
     def _build_train_step(self):
         ema_decay = self.ema_decay
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
             with self.kernel_scope():
                 (_, (losses, _, new_stats)), grads = jax.value_and_grad(
@@ -197,7 +196,12 @@ class SRModel(BaseModel):
                                           stats=new_stats)
                 return new_state, losses
 
-        self._train_step = train_step
+        # the pure step is kept for benchmarks that lax.scan-chain K steps
+        # inside ONE executable (per-dispatch host cost over a remote
+        # accelerator otherwise inflates step time; scripts/bench_video.py
+        # --chain / bench.py train stages)
+        self._train_step_fn = train_step
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
 
     def feed_data(self, data):
         """Host batch -> device, sharded over the data axis

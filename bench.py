@@ -287,7 +287,6 @@ def bench_train(net_opt, batch, lr_size, scale=4, iters=4):
     is_swin = 'SwinIR' in net_opt['type']
     dropkey = jax.random.PRNGKey(1)
 
-    @jax.jit
     def train_step(state, lq, gt):
         def loss(p):
             if is_swin:
@@ -303,14 +302,24 @@ def bench_train(net_opt, batch, lr_size, scale=4, iters=4):
                                      state['ema'], p)
         return {'p': p, 'ema': ema, 'opt': opt}, l
 
-    state, l = train_step(state, lq, gt)
-    float(l)  # compile + warmup
+    # iters steps as ONE lax.scan executable: per-call dispatch over the
+    # remote tunnel costs tens of ms of host work a co-located production
+    # host does not pay (xprof-verified; same convention as the video
+    # stages and the inference fori chains).
+    @jax.jit
+    def run_chain(state, lq, gt):
+        def body(s, _):
+            s2, l = train_step(s, lq, gt)
+            return s2, l
+        return jax.lax.scan(body, state, None, length=iters)
+
+    state, ls = run_chain(state, lq, gt)
+    float(ls[-1])  # compile + warmup
     best = float('inf')
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, l = train_step(state, lq, gt)
-        float(l)  # host fetch forces the chain
+        state, ls = run_chain(state, lq, gt)
+        float(ls[-1])  # host fetch forces the chain
         best = min(best, (time.perf_counter() - t0) / iters)
     return batch * (lr_size * scale) ** 2 / best / 1e6, batch * lr_size**2 / best
 
@@ -577,6 +586,8 @@ def main():
         'swinir_mflops_per_lr_pixel': round(sw_flops / 1e6, 2),
         'msrresnet_mflops_per_lr_pixel': round(ms_flops / 1e6, 2),
         'dtype': 'bfloat16',
+        'train_step_timing': 'lax.scan-chained (r5: device-true step time; '
+                             'earlier rounds paid per-call tunnel dispatch)',
         'backend': jax.default_backend(),
         'budget_s': budget,
         'skipped': [],
@@ -723,16 +734,21 @@ def main():
     stage('dcn', 160, _dcn)
 
     def _edvr():
-        ms, b = bench_video_step('edvr')
+        # B8 bf16: the r5 batch/dtype sweep's throughput knee (B4 135 ms /
+        # B8 231 / B16 454; MFU 0.0245 / 0.0286 / 0.0292) — B16's +2% MFU
+        # is not worth 2x the bench wall-clock. docs/Performance.md
+        # "Round-5 video-family utilization attack".
+        ms, b = bench_video_step('edvr', batch=8)
         extras['edvr_m_train_step_ms'] = round(ms, 1)
         extras['edvr_m_train_batch'] = b
         if peak:
             fl = 3 * b * 64 * 64 * edvr_m_flops_per_lr_pixel_clip()
             extras['edvr_m_train_mfu'] = round(fl / (ms / 1e3) / peak, 4)
-    stage('edvr_train_step', 280, _edvr)
+    stage('edvr_train_step', 380, _edvr)
 
     def _vpp():
-        ms, b = bench_video_step('basicvsrpp')
+        # B4 bf16: sweep winner (B2 408 ms MFU 0.0331 / B4 790 ms 0.0341)
+        ms, b = bench_video_step('basicvsrpp', batch=4)
         extras['basicvsrpp_train_step_ms'] = round(ms, 1)
         extras['basicvsrpp_train_batch'] = b
         if peak:
