@@ -344,16 +344,21 @@ def _row_window() -> int:
     """Height of the windowed sampler's row slab (DCN_ROW_WINDOW, 0=off).
 
     The hat-function row-interp matmul runs over the FULL padded height —
-    but a 128-pixel tile spans only a couple of image rows, and trained DCN
-    offsets are a few pixels, so per tile the hat matrix is nonzero in a
-    narrow row band. The windowed kernels compute each tile's band start
-    (8-aligned, from the per-tile position min) host^W trace-side and
-    contract only ``win`` rows: at EDVR L1 geometry this is a 72->24-row cut
-    in the dominant matmuls. Exactness: a lax.cond falls back to the
-    full-height kernels whenever ANY tile's tap span exceeds the window
-    (large offsets), so semantics are identical to the full path."""
+    but a pixel tile spans only a few image rows, and trained DCN offsets
+    are a few pixels, so per tile the hat matrix is nonzero in a narrow row
+    band. The windowed kernels compute each tile's band start (8-aligned,
+    from the per-tile position min) trace-side and contract only ``win``
+    rows — with a lax.cond falling back to the full-height kernels whenever
+    ANY tile's tap span exceeds the window, so semantics are identical.
+
+    DEFAULT OFF: on-chip A/B at EDVR shapes measured it neutral (109 vs
+    115 ms sites — the sampler is VPU/VMEM-traffic-bound, not matmul-width
+    -bound; docs/Performance.md r5 protocol note), while the cond compiles
+    TWO Mosaic kernel pairs per DCN site, roughly doubling the video
+    models' already-long compile. Set DCN_ROW_WINDOW=24 to enable at
+    geometries with much larger H."""
     import os
-    return int(os.environ.get('DCN_ROW_WINDOW', '24'))
+    return int(os.environ.get('DCN_ROW_WINDOW', '0'))
 
 
 def _row_window_plan(pos_p, g, t, k2, hp_pad, win, bp):

@@ -262,32 +262,38 @@ def test_row_windowed_sampler_matches_gather(scale):
     huge offsets (scale=30 -> tap span > window) must trigger the lax.cond
     fallback to the full-height kernels — both must equal the gather
     formulation in forward and all gradients."""
-    from basicsr4rs_tpu.ops.dcn import _row_window, _row_window_plan
-    assert _row_window() > 0  # default on
-    rng = np.random.RandomState(11)
-    h = w = 40  # hp_pad = 48 > 24-row window
-    x = jnp.asarray(rng.rand(1, h, w, 4).astype(np.float32))
-    wt = jnp.asarray(rng.rand(3, 3, 4, 4).astype(np.float32))
-    offset = jnp.asarray(rng.randn(1, h, w, 2 * 9).astype(np.float32) * scale)
-    mask = jnp.asarray(rng.rand(1, h, w, 9).astype(np.float32))
+    import os
+    from basicsr4rs_tpu.ops.dcn import _row_window
+    os.environ['DCN_ROW_WINDOW'] = '24'  # default off (compile cost); test on
+    try:
+        assert _row_window() == 24
+        rng = np.random.RandomState(11)
+        h = w = 40  # hp_pad = 48 > 24-row window
+        x = jnp.asarray(rng.rand(1, h, w, 4).astype(np.float32))
+        wt = jnp.asarray(rng.rand(3, 3, 4, 4).astype(np.float32))
+        offset = jnp.asarray(rng.randn(1, h, w, 2 * 9).astype(np.float32) * scale)
+        mask = jnp.asarray(rng.rand(1, h, w, 9).astype(np.float32))
 
-    def loss(method, x, offset, mask, wt):
-        return jnp.sum(modulated_deform_conv(x, offset, mask, wt, None,
-                                             deform_groups=1,
-                                             method=method) ** 2)
+        def loss(method, x, offset, mask, wt):
+            return jnp.sum(modulated_deform_conv(x, offset, mask, wt, None,
+                                                 deform_groups=1,
+                                                 method=method) ** 2)
 
-    out_p = modulated_deform_conv(x, offset, mask, wt, None, deform_groups=1,
-                                  method='pallas_interpret')
-    out_g = modulated_deform_conv(x, offset, mask, wt, None, deform_groups=1,
-                                  method='gather')
-    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_g),
-                               rtol=2e-5, atol=2e-5)
+        out_p = modulated_deform_conv(x, offset, mask, wt, None,
+                                      deform_groups=1,
+                                      method='pallas_interpret')
+        out_g = modulated_deform_conv(x, offset, mask, wt, None,
+                                      deform_groups=1, method='gather')
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_g),
+                                   rtol=2e-5, atol=2e-5)
 
-    g_p = jax.grad(lambda *a: loss('pallas_interpret', *a),
-                   argnums=(0, 1, 2, 3))(x, offset, mask, wt)
-    g_g = jax.grad(lambda *a: loss('gather', *a),
-                   argnums=(0, 1, 2, 3))(x, offset, mask, wt)
-    for a, b, name in zip(g_p, g_g, ['x', 'offset', 'mask', 'weight']):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-4,
-                                   err_msg=f'{name} grad mismatch')
+        g_p = jax.grad(lambda *a: loss('pallas_interpret', *a),
+                       argnums=(0, 1, 2, 3))(x, offset, mask, wt)
+        g_g = jax.grad(lambda *a: loss('gather', *a),
+                       argnums=(0, 1, 2, 3))(x, offset, mask, wt)
+        for a, b, name in zip(g_p, g_g, ['x', 'offset', 'mask', 'weight']):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f'{name} grad mismatch')
+    finally:
+        os.environ.pop('DCN_ROW_WINDOW', None)
