@@ -744,7 +744,7 @@ def main():
         if peak:
             fl = 3 * b * 64 * 64 * edvr_m_flops_per_lr_pixel_clip()
             extras['edvr_m_train_mfu'] = round(fl / (ms / 1e3) / peak, 4)
-    stage('edvr_train_step', 380, _edvr)
+    stage('edvr_train_step', 300, _edvr)
 
     def _vpp():
         # B4 bf16: sweep winner (B2 408 ms MFU 0.0331 / B4 790 ms 0.0341)
@@ -754,7 +754,7 @@ def main():
         if peak:
             fl = 3 * b * 7 * 64 * 64 * basicvsrpp_flops_per_lr_pixel_frame(t=7)
             extras['basicvsrpp_train_mfu'] = round(fl / (ms / 1e3) / peak, 4)
-    stage('basicvsrpp_train_step', 500, _vpp)
+    stage('basicvsrpp_train_step', 300, _vpp)
 
     def _resshift():
         extras['resshift_sample15_ms'] = round(bench_resshift_sampling(), 1)
