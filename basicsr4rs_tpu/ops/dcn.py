@@ -134,14 +134,24 @@ def _sampler(method: str):
 # ---------------------------------------------------------------------------
 
 def _bp() -> int:
-    """Pixels per grid cell (env DCN_BP). The r5 profile showed the sampler
-    is bound by a ~3-6 us per-grid-cell floor (DMA issue + grid
-    bookkeeping), not by matmul width — windowing the row contraction
-    72->24 changed nothing while cells scale linearly with batch. Fewer,
-    bigger cells is the lever: 512 cuts the cell count 4x vs the original
-    128 and fills the MXU M-dim outright."""
+    """Pixels per grid cell (env DCN_BP). On-chip probes at EDVR shapes
+    measured 128/256/512 identical within noise (the sampler is bound by
+    per-pixel-tap VPU/VMEM traffic — docs/Performance.md r5 protocol
+    note); 512 is kept as the default for the larger MXU M-dim and fewer
+    grid iterations, clamped per-geometry by :func:`_bp_for`."""
     import os
     return int(os.environ.get('DCN_BP', '512'))
+
+
+
+def _bp_for(wp: int, cpg: int) -> int:
+    """Clamp the pixels-per-cell to keep the kernels' stacked (bp, WC)
+    f32 intermediates (~6 live in the backward) inside a ~12 MB VMEM
+    budget at wide geometries — the 4 MB slab gate alone does not bound
+    the per-tile working set (code-review r5)."""
+    wc_pad = -(-(wp * cpg) // 128) * 128
+    budget_rows = (12 * 1024 * 1024) // (wc_pad * 4 * 6)
+    return max(128, min(_bp(), budget_rows // 128 * 128))
 
 
 def _tap_chunks(k2: int, which: str, bp: int) -> int:
@@ -155,9 +165,10 @@ def _tap_chunks(k2: int, which: str, bp: int) -> int:
     cap = {'fwd': 1152, 'bwd': 384}[which]
     d = max(1, min(k2, cap // bp))
     tc = int(os.environ.get(f'DCN_TAP_CHUNK_{which.upper()}', str(d)))
+    tc = max(1, min(tc, k2))
     while k2 % tc:
         tc -= 1
-    return max(tc, 1)
+    return tc
 
 
 def _dcn_pallas_fwd_kernel(k2: int, cpg: int, tc: int, bp: int, win: int = 0):
@@ -356,9 +367,12 @@ def _row_window() -> int:
     -bound; docs/Performance.md r5 protocol note), while the cond compiles
     TWO Mosaic kernel pairs per DCN site, roughly doubling the video
     models' already-long compile. Set DCN_ROW_WINDOW=24 to enable at
-    geometries with much larger H."""
+    geometries with much larger H. Values round UP to a multiple of 8 —
+    the window-start plan is 8-aligned and the kernels promise Mosaic
+    8-aligned slab loads (pl.multiple_of)."""
     import os
-    return int(os.environ.get('DCN_ROW_WINDOW', '0'))
+    win = int(os.environ.get('DCN_ROW_WINDOW', '0'))
+    return -(-win // 8) * 8 if win > 0 else 0
 
 
 def _row_window_plan(pos_p, g, t, k2, hp_pad, win, bp):
@@ -379,7 +393,7 @@ def _sample_all_pallas_impl(xg_pad, pos, interpret=False):
 
     g, hp, wp, cpg = xg_pad.shape
     p, k2 = pos.shape[1], pos.shape[2] // 2
-    bp = _bp()
+    bp = _bp_for(wp, cpg)
     x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg, bp)
     tiles = p_pad // bp
     out_shape = jax.ShapeDtypeStruct((g, k2, cpg, p_pad), xg_pad.dtype)
@@ -426,7 +440,7 @@ def _sample_all_pallas_bwd_impl(xg_pad, pos, grad, interpret=False):
 
     g, hp, wp, cpg = xg_pad.shape
     p, k2 = pos.shape[1], pos.shape[2] // 2
-    bp = _bp()
+    bp = _bp_for(wp, cpg)
     x2, pos_p, hp_pad, wc_pad, p_pad = _pallas_pack(xg_pad, pos, k2, cpg, bp)
     tiles = p_pad // bp
     grad_p = jnp.pad(grad.astype(xg_pad.dtype), ((0, 0), (0, 0), (0, 0), (0, p_pad - p)))

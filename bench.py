@@ -640,14 +640,15 @@ def main():
             est_s, thunk = all_stages[name]
             if time.monotonic() - t_start + est_s > budget:
                 continue
+            # whatever happens, the stage is no longer "skipped" — it ran
+            if name in extras['skipped']:
+                extras['skipped'].remove(name)
             try:
                 thunk()
             except Exception as e:  # noqa: BLE001
                 extras['errors'][name] = repr(e)[:300]
             else:
                 extras['errors'].pop(name, None)
-                if name in extras['skipped']:
-                    extras['skipped'].remove(name)
                 extras.setdefault('retried_ok', []).append(name)
             _drop_hbm()
             emit()

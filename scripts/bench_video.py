@@ -98,11 +98,10 @@ def bench(kind, batch, frames, lr_size, iters, dtype=None, chain=True):
                    'gt': rng.rand(batch, frames, lr_size * 4, lr_size * 4, 3).astype(np.float32)}
         out_frames = frames
     model.feed_data(batch_d)
-    model.optimize_parameters(1)
-    jax.block_until_ready(model.state.params)
-    float(np.asarray(model.get_current_log()['l_pix']))  # compile + force
 
     if chain and getattr(model, '_train_step_fn', None) is not None:
+        # chain mode compiles ONLY the scanned executable — warming the
+        # per-call jit too would double the (minutes-long) video compile
         step_fn = model._train_step_fn
 
         @jax.jit
@@ -122,6 +121,9 @@ def bench(kind, batch, frames, lr_size, iters, dtype=None, chain=True):
             float(np.asarray(last))
             best = min(best, (time.perf_counter() - t0) / iters)
     else:
+        model.optimize_parameters(1)
+        jax.block_until_ready(model.state.params)
+        float(np.asarray(model.get_current_log()['l_pix']))  # compile + force
         best = float('inf')
         for _ in range(3):
             t0 = time.perf_counter()

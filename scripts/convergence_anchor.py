@@ -122,7 +122,7 @@ network_g: {{type: MSRResNet, num_in_ch: 3, num_out_ch: 3, num_feat: {args.feat}
 path: {{pretrain_network_g: ~}}
 train:
   ema_decay: 0
-  optim_g: {{type: Adam, lr: !!float {args.lr}}}
+  optim_g: {{type: Adam, lr: !!float {args.lr}, betas: [0.9, 0.99]}}
   scheduler: {{type: ConstantLR}}
   total_iter: {args.iters}
   pixel_opt: {{type: L1Loss, loss_weight: 1.0, reduction: mean}}

@@ -8,7 +8,7 @@ compile cache shared across configs) and reports step_ms + analytic MFU
 using the same FLOPs models as bench.py.
 
     python scripts/sweep_video_train.py [--model edvr|basicvsrpp|both]
-        [--batches 4,8,16] [--dtypes fp32,bf16] [--timeout 1200]
+        [--batches 4,8,16] [--dtypes fp32,bfloat16] [--timeout 1200]
 """
 import argparse
 import json
