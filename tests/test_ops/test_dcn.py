@@ -297,3 +297,27 @@ def test_row_windowed_sampler_matches_gather(scale):
                                        err_msg=f'{name} grad mismatch')
     finally:
         os.environ.pop('DCN_ROW_WINDOW', None)
+
+
+def test_kernel_knob_edge_cases():
+    """Env-knob hygiene (r5 code review): zero/odd values must clamp or
+    round, never crash or violate kernel alignment promises."""
+    import os
+    from basicsr4rs_tpu.ops.dcn import _bp_for, _row_window, _tap_chunks
+    # DCN_TAP_CHUNK_FWD=0 clamps to a valid divisor instead of
+    # ZeroDivisionError
+    os.environ['DCN_TAP_CHUNK_FWD'] = '0'
+    try:
+        assert _tap_chunks(9, 'fwd', 512) == 1
+    finally:
+        del os.environ['DCN_TAP_CHUNK_FWD']
+    # DCN_ROW_WINDOW rounds UP to a multiple of 8 (8-aligned window starts)
+    os.environ['DCN_ROW_WINDOW'] = '20'
+    try:
+        assert _row_window() == 24
+    finally:
+        del os.environ['DCN_ROW_WINDOW']
+    assert _row_window() == 0  # default off
+    # wide geometries clamp pixels-per-cell to bound the VMEM working set
+    assert _bp_for(66, 8) == 512      # EDVR L1: full default
+    assert _bp_for(130, 64) == 128    # BasicVSR++-warp-wide: clamped
