@@ -5,12 +5,13 @@ stage completes; after every subsequent stage a superset line is re-printed.
 The LAST complete line is the result — a timeout therefore costs only the
 not-yet-run extras, never the headline (round-3 lesson: the all-or-nothing
 single-print design lost the whole round's measured record to an rc=124).
-A wall-clock budget (env ``BENCH_BUDGET_S``, default 1080 s) is checked
+A wall-clock budget (env ``BENCH_BUDGET_S``, default 1200 s) is checked
 before each stage; stages that don't fit are recorded in
 ``extras['skipped']``. A stage that *crashes* is recorded in
-``extras['errors']`` and the run continues. Stages are ordered by
-value-per-second: headline -> train MFU -> int8 -> kernel A/Bs -> video ->
-diffusion/GAN/synth.
+``extras['errors']`` and the run continues; after the stage list
+completes, a retry pass re-runs crashed (then budget-skipped) stages
+while budget remains. Stages are ordered by value-per-second: headline ->
+train MFU -> int8 -> kernel A/Bs -> video -> diffusion/GAN/synth.
 
 Headline metric: SwinIR-M x4 inference throughput in output megapixels/sec
 on the available accelerator (BASELINE.md north star). ``extras`` carries the

@@ -118,7 +118,8 @@ is_train: true
 dist: false
 rank: 0
 world_size: 1
-network_g: {{type: MSRResNet, num_in_ch: 3, num_out_ch: 3, num_feat: {args.feat}, num_block: {args.blocks}, upscale: {SCALE}}}
+network_g: {{type: MSRResNet, num_in_ch: 3, num_out_ch: 3,
+  num_feat: {args.feat}, num_block: {args.blocks}, upscale: {SCALE}}}
 path: {{pretrain_network_g: ~}}
 train:
   ema_decay: 0
